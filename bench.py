@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local core count (default all)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect/serialization cost — the same way a cluster job would terminate
+in a write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ucl_data_pipeline_spark import get_spark
+from ucl_data_pipeline_spark.plans import REGISTRY
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = None
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    subset = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()]
+        if subset
+        else list(REGISTRY)
+    )
+
+    # Warm the JVM/session on a trivial action so query 1 doesn't pay
+    # session startup.
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""IO / conform / graceful-degradation tests (SURVEY.md §2.1, §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ucl_data_pipeline_spark.schemas import TEAMS_MASTER, TESTDATA_SCHEMAS
+from ucl_data_pipeline_spark.sources import (
+    conform,
+    empty_df,
+    read_table,
+    safe_read_csv,
+)
+
+
+def test_read_table_schema(spark, sf_dir):
+    for name in ("lineitem", "orders", "embeddings"):
+        df = read_table(spark, sf_dir, name)
+        expect = {f.name for f in TESTDATA_SCHEMAS[name].fields}
+        assert {f.name for f in df.schema.fields} == expect
+
+
+def test_safe_read_missing_file_is_empty_typed(spark, tmp_path):
+    # reference safe_read (scripts/enrich_features.py:17-18): missing
+    # file → empty frame with the right schema, downstream joins no-op.
+    df = safe_read_csv(spark, str(tmp_path / "nope.csv"), TEAMS_MASTER)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "team", "gk_rating", "setpiece_rating", "crowd_index"]
+
+
+def test_empty_df_survives_union_and_join(spark):
+    # graceful-degradation contract V3: empty-but-valid tables flow
+    # through the relational ops without error.
+    e = empty_df(spark, TEAMS_MASTER)
+    full = spark.createDataFrame([("Liverpool", 0.7, 0.6, 0.7)], TEAMS_MASTER)
+    assert full.unionByName(e).count() == 1
+    assert full.join(e.select("team"), "team", "left").count() == 1
+
+
+def test_conform_adds_defaults_and_orders(spark):
+    target = T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.DoubleType()),
+    ])
+    src = spark.createDataFrame([("x", 1)], "b: string, a: int")
+    out = conform(src, target, defaults={"c": 9.5})
+    assert out.columns == ["a", "b", "c"]
+    row = out.collect()[0]
+    assert (row.a, row.b, row.c) == (1, "x", 9.5)
+
+
+def test_conform_casts_types(spark):
+    target = T.StructType([T.StructField("v", T.DoubleType())])
+    src = spark.createDataFrame([("3.5",), ("bad",)], "v: string")
+    vals = [r.v for r in conform(src, target).collect()]
+    assert vals[0] == 3.5 and vals[1] is None  # coerce-to-null (F7)

@@ -1,0 +1,17 @@
+"""Query plans: the engine's registered query inventory.
+
+Importing this package registers every query (name → Spark callable +
+DuckDB oracle SQL) into ``registry.REGISTRY``; ``__spark_entry__.py``
+exposes them to the driver harness.
+"""
+
+from ucl_data_pipeline_spark.plans import registry  # noqa: F401
+from ucl_data_pipeline_spark.plans import core  # noqa: F401  (registers)
+from ucl_data_pipeline_spark.plans import reference_parity  # noqa: F401
+from ucl_data_pipeline_spark.plans import analytics  # noqa: F401
+from ucl_data_pipeline_spark.plans import llm_ops  # noqa: F401
+from ucl_data_pipeline_spark.plans import events_windows  # noqa: F401
+
+all_queries = registry.all_queries
+oracle_sqls = registry.oracle_sqls
+REGISTRY = registry.REGISTRY

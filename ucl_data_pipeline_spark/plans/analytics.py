@@ -1,0 +1,321 @@
+"""Aggregation & window-function inventory (SURVEY.md §2.4-2.5, §7
+Phase 3): hash aggregates, distinct, rollup/cube/grouping-sets, ranking,
+lag/lead analytics and frame aggregates.
+
+The reference has no groupby and no window functions at all (§2.4-2.5);
+these are the engine capabilities the driver harness exercises over the
+synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_GROUP_AGG_ORACLE = f"""
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  {sql_davg('o_totalprice')} AS avg_price,
+  MIN(o_orderdate) AS first_order,
+  MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("group_agg_basic", oracle=_GROUP_AGG_ORACLE, tags=("agg",))
+def group_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with count/sum/min/max/avg over one key.
+    Partial aggregation (map-side combine) means the shuffle carries
+    one row per (partition, key) — safe at any scale.
+    """
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("count_distinct_agg", oracle=_COUNT_DISTINCT_ORACLE, tags=("agg",))
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (expand + two-phase agg under
+    the hood). For 100 TB cardinality estimation the engine also exposes
+    approx_count_distinct (see approx_distinct_suppliers, rows-only
+    check — HLL sketches differ across engines by design).
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register("approx_distinct_suppliers", oracle=None, tags=("agg", "approx"))
+def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=1%) — the scale path
+    for cardinality at 100 TB (no oracle: sketch internals are
+    engine-specific; driver records rows-only).
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  r.r_name,
+  n.n_name,
+  COUNT(*) AS n_customers,
+  {sql_dsum('c.c_acctbal')} AS sum_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("rollup_region_nation", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_status_priority", oracle=_CUBE_ORACLE, tags=("agg",))
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of two dimensions."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("grouping_sets_status_priority", oracle=_GROUPING_SETS_ORACLE, tags=("agg",))
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine exposes
+    both DataFrame and SQL entry points; Catalyst plans them
+    identically).
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+_REST_DAYS_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  date_diff('day',
+    lag(CAST(o_orderdate AS DATE)) OVER w,
+    CAST(o_orderdate AS DATE)) AS rest_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("rest_days_lag", oracle=_REST_DAYS_ORACLE, tags=("window",))
+def rest_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days since the previous order per customer — the
+    principled version of the reference's hard-coded rest_days=4 default
+    (scripts/fetch_football_data.py:48; SURVEY.md §2.5 showcase).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(d, F.lag(d).over(w)).alias("rest_days"),
+    )
+
+
+_MOVING_AVG_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(o_totalprice)
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_price
+FROM orders
+"""
+
+
+@register("moving_avg_frame", oracle=_MOVING_AVG_ORACLE, tags=("window",))
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec aggregate: 3-row trailing mean per customer
+    (rowsBetween −2..0), exact-decimal sum for cross-engine equality.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum(price_dec).over(w).cast("double")
+            / F.count("o_totalprice").over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+_RANKS_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  c_acctbal,
+  rank() OVER w AS bal_rank,
+  dense_rank() OVER w AS bal_dense_rank,
+  row_number() OVER (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey) AS bal_row_number
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+"""
+
+
+@register("rank_customers_by_balance", oracle=_RANKS_ORACLE, tags=("window",))
+def rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per nation by balance."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wrn = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.row_number().over(wrn).alias("bal_row_number"),
+    )
+
+
+_LEAD_SHARE_ORACLE = f"""
+WITH nation_bal AS (
+  SELECT c_nationkey, {sql_dsum('c_acctbal')} AS nation_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT
+  c.c_custkey,
+  c.c_nationkey,
+  c.c_acctbal,
+  lead(c.c_acctbal) OVER (PARTITION BY c.c_nationkey
+                          ORDER BY c.c_acctbal DESC, c.c_custkey) AS next_bal,
+  c.c_acctbal / nb.nation_bal AS bal_share
+FROM customer c
+JOIN nation_bal nb ON c.c_nationkey = nb.c_nationkey
+WHERE nb.nation_bal <> 0
+"""
+
+
+@register("lead_and_share_of_total", oracle=_LEAD_SHARE_ORACLE, tags=("window", "agg"))
+def lead_and_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() + share-of-group-total (window/agg composition)."""
+    c = read_table(spark, sf_dir, "customer")
+    nb = c.groupBy("c_nationkey").agg(dsum("c_acctbal").alias("nation_bal"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(nb.filter(F.col("nation_bal") != 0)), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.lead("c_acctbal").over(w).alias("next_bal"),
+            (F.col("c_acctbal") / F.col("nation_bal")).alias("bal_share"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Scans, sinks and schema conformance (SURVEY.md §2.1).
+
+Re-expresses the reference's CSV-file dataflow Spark-first:
+
+- S2 local CSV scan → ``read_csv`` with a declared StructType and
+  PERMISSIVE mode (the reference infers types; we declare them).
+- missing-file tolerance (reference ``safe_read``,
+  scripts/enrich_features.py:17-18) → ``safe_read_csv`` returning an
+  empty typed DataFrame.
+- S5/S6 sinks → ``write_csv`` / ``write_parquet``; an empty DataFrame
+  with a declared schema IS the "empty-but-valid" file (reference
+  scripts/fetch_the_odds_api.py:23-29).
+- S7 preflight repair (scripts/ensure_min_files.py:10-44) dissolves into
+  ``conform`` — declared schemas + default stamping make "repair" a pure
+  projection.
+- S8 in-place overwrite is deliberately NOT reproduced: Spark cannot
+  overwrite a path it is reading; pipelines here stage immutable outputs
+  (raw → enriched → final), which also fixes the reference's
+  non-idempotent re-run behavior (SURVEY.md §7 "What's hard" (b)).
+
+Scale notes: Parquet is the interchange format (columnar, predicate
+pushdown, partition pruning); CSV is kept for ingest/egress only. Fact
+writes partition by a date-derived column so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ucl_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver synthetic table (parquet) from ``sf_dir``.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst
+    for free; callers should select/filter as early as convenient but
+    correctness never depends on it.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: Any,
+) -> DataFrame:
+    """S2: headered CSV scan with declared schema, permissive parse."""
+    opts = {"header": "true", "mode": "PERMISSIVE", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """S6: an empty-but-valid table (schema, zero rows)."""
+    return spark.createDataFrame([], schema)
+
+
+def safe_read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, **options: Any
+) -> DataFrame:
+    """S2 + missing-file tolerance: absent/unreadable path → empty typed df.
+
+    Reference: ``safe_read`` (scripts/enrich_features.py:17-18) returns an
+    empty frame when the file is missing so downstream joins no-op.
+    """
+    try:
+        if not os.path.exists(path):
+            return empty_df(spark, schema)
+        return read_csv(spark, path, schema=schema, **options)
+    except Exception:
+        return empty_df(spark, schema)
+
+
+def conform(
+    df: DataFrame,
+    schema: T.StructType,
+    defaults: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Project ``df`` onto ``schema``: add missing columns (default or
+    NULL), cast present ones, emit canonical column order.
+
+    Replaces the reference's ``ensure_cols`` (scripts/enrich_features.py:
+    20-24), default stamping (scripts/fetch_football_data.py:48-52) and
+    preflight repair (scripts/ensure_min_files.py:10-44) with one pure
+    projection — no shuffle, fully codegen'd.
+    """
+    defaults = defaults or {}
+    existing = {f.name for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        if field.name in existing:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        elif field.name in defaults:
+            cols.append(
+                F.lit(defaults[field.name]).cast(field.dataType).alias(field.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def read_json_records(
+    spark: SparkSession, json_str: str, schema: T.ArrayType
+) -> DataFrame:
+    """S3/S4: one JSON document (e.g. a REST response body) → rows.
+
+    The fetch itself stays driver-side (control flow + rate limiting,
+    reference scripts/fetch_the_odds_api.py:59-71); parsing/flattening is
+    DataFrame work: ``from_json`` with a declared nested schema, then
+    ``explode``(see operators.json_flatten). At scale, responses land on
+    object storage and this becomes ``spark.read.json`` with the same
+    element schema.
+    """
+    df = spark.createDataFrame([(json_str,)], ["raw"])
+    return df.select(
+        F.explode(F.from_json(F.col("raw"), schema)).alias("rec")
+    ).select("rec.*")
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Stage an immutable parquet output (the engine's interchange sink).
+
+    ``partition_by`` a low-cardinality date-derived column for facts so
+    downstream scans partition-prune (SURVEY.md §4.2 scale notes).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: headered CSV egress sink."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver synthetic tables as a name→DataFrame dict."""
+    return {name: read_table(spark, sf_dir, name) for name in TESTDATA_SCHEMAS}
