@@ -1,0 +1,75 @@
+"""Streaming ≡ batch equivalence: the Structured Streaming pipelines
+(Trigger.AvailableNow) must produce the same results as the registered
+batch queries that the driver oracle-checks (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from ucl_data_pipeline_spark.plans.events_windows import (
+    dedup_events_first,
+    session_window_agg,
+    tumbling_window_agg,
+)
+from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_window_stream,
+    tumbling_window_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # Stage events as a micros-timestamp parquet directory (the
+    # streaming file source needs a directory; testdata is read-only
+    # single-file NANOS parquet).
+    d = tmp_path_factory.mktemp("events_stream")
+    read_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(
+        str(d / "data")
+    )
+    return str(d / "data")
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    return Counter(
+        tuple(str(row[c]) for c in cols) for row in df.collect()
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    # complete mode so windows still inside the watermark horizon at
+    # end-of-input are emitted too (append withholds them by design).
+    stream = tumbling_window_stream(read_events_stream(spark, events_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    want = tumbling_window_agg(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = session_window_stream(read_events_stream(spark, events_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    want = session_window_agg(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_dedup_within_watermark_keeps_one_per_key(
+    spark, sf_dir, events_dir, tmp_path
+):
+    stream = dedup_within_watermark(
+        read_events_stream(spark, events_dir), ["user_id", "event_type"]
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt"))
+    want = dedup_events_first(spark, sf_dir)
+    # Streaming dedup keeps the first *arrival* (file order), batch
+    # keeps the first *timestamp*: key sets must agree exactly.
+    got_keys = {(r.user_id, r.event_type) for r in got.collect()}
+    want_keys = {(r.user_id, r.event_type) for r in want.collect()}
+    assert got_keys == want_keys
+    assert got.count() == len(got_keys)

@@ -1,1 +1,181 @@
-"""Events window ops (filled in below)."""
+"""Event-stream operators in their batch-expressible form (SURVEY.md
+§2.9): tumbling/sliding/session windows, JSON props extraction, and
+watermark-style dedup — registered over the ``events`` table with DuckDB
+oracles. The true Structured Streaming pipelines (readStream →
+withWatermark → window → sink) live in
+``ucl_data_pipeline_spark.streaming`` and are pytest-verified to produce
+these same results via Trigger.AvailableNow; the driver harness checks
+the batch semantics here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import (
+    dsum,
+    register,
+    sql_dsum,
+)
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE, tags=("events", "window"))
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via ``F.window`` — the exact
+    construct the streaming path uses with a watermark; epoch-aligned
+    so it equals time_bucket/date_trunc in the oracle.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = f"""
+WITH slid AS (
+  SELECT
+    e.*,
+    CAST(to_timestamp(floor(epoch(e.ts) / 300) * 300 - off.o) AS TIMESTAMP)
+      AS window_start
+  FROM events e, (VALUES (0), (300)) AS off(o)
+)
+SELECT
+  window_start,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM slid
+GROUP BY 1
+"""
+
+
+@register("sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("events", "window"))
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): every event lands
+    in exactly two windows. ``F.window(ts, '10 minutes', '5 minutes')``
+    — the oracle mirrors Spark's window-assignment arithmetic
+    (floor to slide grid, minus each slide offset).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT
+    event_id, user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              < INTERVAL '5 minutes'
+         THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT
+    user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '5 minutes' AS session_end,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("session_window_agg", oracle=_SESSION_ORACLE, tags=("events", "window"))
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user via
+    ``F.session_window`` — Spark's native gap-merge; the oracle builds
+    the same sessions with gaps-and-islands SQL (lag + running sum).
+    Session end = last event + gap, matching Spark's definition.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+@register("json_props_extract", oracle=_JSON_PROPS_ORACLE, tags=("events", "scalar"))
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 analog: typed extraction from a JSON string column
+    (reference: nested odds-JSON flatten,
+    scripts/fetch_the_odds_api.py:118-143; here get_json_object /
+    from_json — JVM-side JSON path, no UDF).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+_EVENTS_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+@register("dedup_events_first", oracle=_EVENTS_DEDUP_ORACLE, tags=("events", "dedup"))
+def dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of dropDuplicatesWithinWatermark: keep the
+    earliest event per (user_id, event_type), deterministic tie-break.
+    The streaming twin (withWatermark + dropDuplicates) is tested in
+    tests/test_streaming.py.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

@@ -1,1 +1,694 @@
-"""LLM-data ops (filled in below)."""
+"""Training-data pipeline operators over ``documents``/``embeddings``:
+exact & near dedup (fingerprint, MinHash-LSH, shingle-Jaccard, SimHash),
+similarity search (brute-force + LSH-bucketed ANN), and text analysis
+(token stats, quality scoring, language-ID, fingerprints).
+
+These are first-class engine capabilities beyond the reference's
+surface (BASELINE.json north star). Everything except SimHash is
+oracle-checked exactly; hashes use md5 so DuckDB mirrors Spark
+bit-for-bit (see functions.text docstring).
+
+Scale design (100 TB):
+- dedup/similarity never do O(n²) work: candidates come from equi-joins
+  on LSH band keys or shared shingles (shuffle on the feature key),
+  verified only within buckets.
+- all text features are higher-order array expressions — codegen'd,
+  zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.functions import text as TX
+from ucl_data_pipeline_spark.functions import vector as VX
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+# Shared SQL fragments (duplicated verbatim into each oracle so every
+# oracle stays a self-contained statement).
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_SHINGLES = (
+    r"CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+    r"generate_series(0, len({t})-3), i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]))"
+    r" ELSE [] END"
+)
+
+
+def _sql_minhash(seed: int, feats: str = "feats") -> str:
+    return f"list_min(list_transform({feats}, t -> md5('{seed}:' || t)))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT
+  md5(text) AS text_hash,
+  MIN(doc_id) AS keeper_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("dedup", "llm"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, keeper =
+    lowest doc_id. Hash-groupBy — a single shuffle keyed on the digest,
+    the canonical 100 TB exact-dedup plan (hash first so the shuffle
+    key is 32 bytes, not the document).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_DEDUP_NORM_ORACLE = r"""
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+  MIN(doc_id) AS keeper_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_normalized", oracle=_DEDUP_NORM_ORACLE, tags=("dedup", "llm"))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lower/trim/collapse-ws) —
+    catches whitespace-variant copies a raw hash misses.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(TX.normalized_text("text")).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_FINGERPRINT_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens
+FROM tok
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("dedup", "text", "llm"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of the sorted
+    distinct-token set) — catches shuffled/reordered near-copies; the
+    corpus contains token-set-identical pairs that raw hashing misses.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fingerprint"),
+        F.size(TX.distinct_tokens("text")).alias("n_uniq_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near dedup: MinHash signatures + banded LSH
+# ---------------------------------------------------------------------------
+
+_MINHASH_SIG_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
+)
+SELECT
+  doc_id,
+  {_sql_minhash(0)} AS mh_0,
+  {_sql_minhash(1)} AS mh_1,
+  {_sql_minhash(2)} AS mh_2,
+  {_sql_minhash(3)} AS mh_3,
+  {_sql_minhash(4)} AS mh_4,
+  {_sql_minhash(5)} AS mh_5
+FROM feat
+"""
+
+
+def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 3-gram shingle set (the near-dup feature)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("feats"),
+    )
+
+
+@register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE, tags=("dedup", "llm"))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (6 hashes over 3-gram shingles) per document.
+    md5-based so every engine agrees; empty-shingle docs yield NULLs.
+    """
+    feats = _doc_features(spark, sf_dir)
+    return feats.select(
+        "doc_id", *[TX.minhash(F.col("feats"), s) for s in range(6)]
+    ).toDF("doc_id", *[f"mh_{s}" for s in range(6)])
+
+
+_MINHASH_LSH_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
+), sig AS (
+  SELECT doc_id, feats,
+    md5({_sql_minhash(0)} || {_sql_minhash(1)}) AS band_0,
+    md5({_sql_minhash(2)} || {_sql_minhash(3)}) AS band_1,
+    md5({_sql_minhash(4)} || {_sql_minhash(5)}) AS band_2
+  FROM feat
+), bucket AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM sig WHERE band_0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, band_1 FROM sig WHERE band_1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, band_2 FROM sig WHERE band_2 IS NOT NULL
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bucket a
+  JOIN bucket b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT
+    c.doc_a, c.doc_b,
+    CAST(len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
+      / CAST(len(fa.feats) + len(fb.feats)
+             - len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN feat fa ON c.doc_a = fa.doc_id
+  JOIN feat fb ON c.doc_b = fb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE, tags=("dedup", "llm"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH (3 bands × 2 rows), then
+    exact shingle-Jaccard verification ≥ 0.5 within candidate buckets.
+
+    Scale shape: shuffle on (band_idx, band_key) — never O(n²). The
+    verify join re-fetches only candidate docs' features. (For very
+    skewed buckets, AQE skew-join splits the hot keys.)
+    """
+    feats = _doc_features(spark, sf_dir)
+    mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
+    sig = feats.select(
+        "doc_id",
+        "feats",
+        F.md5(F.concat(mh[0], mh[1])).alias("band_0"),
+        F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
+        F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
+    )
+    bucket = None
+    for i in range(3):
+        piece = sig.filter(F.col(f"band_{i}").isNotNull()).select(
+            "doc_id",
+            F.lit(i).alias("band_idx"),
+            F.col(f"band_{i}").alias("band_key"),
+        )
+        bucket = piece if bucket is None else bucket.unionByName(piece)
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
+    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
+    inter = F.size(
+        F.filter(F.col("fa"), lambda x: F.array_contains(F.col("fb"), x))
+    )
+    union = F.size("fa") + F.size("fb") - inter
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_JACCARD_PAIRS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
+), ex AS (
+  SELECT doc_id, unnest(feats) AS f FROM feat
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  s.doc_a, s.doc_b,
+  CAST(s.n_shared AS DOUBLE)
+    / CAST(len(fa.feats) + len(fb.feats) - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN feat fa ON s.doc_a = fa.doc_id
+JOIN feat fb ON s.doc_b = fb.doc_id
+WHERE s.n_shared >= 5
+"""
+
+
+@register("jaccard_shingle_pairs", oracle=_JACCARD_PAIRS_ORACLE, tags=("dedup", "llm"))
+def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram-Jaccard similar-pair mining via inverted
+    index: explode shingles, equi-self-join on the shingle, count
+    shared per pair (one shuffle keyed by shingle — candidate
+    generation is proportional to real overlap, not n²), then exact
+    Jaccard from set sizes. Ground truth for LSH recall.
+    """
+    feats = _doc_features(spark, sf_dir)
+    ex = feats.select("doc_id", F.explode("feats").alias("f"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    fa = feats.select(F.col("doc_id").alias("doc_a"), F.size("feats").alias("na"))
+    fb = feats.select(F.col("doc_id").alias("doc_b"), F.size("feats").alias("nb"))
+    return (
+        shared.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("simhash_signatures", oracle=None, tags=("dedup", "llm"))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over
+    xxhash64(token) bits (engine-native hash → no SQL oracle; driver
+    records rows-only; pytest checks near-dup hamming behavior).
+    Explode+groupBy shape: one shuffle keyed by doc_id.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.distinct_tokens("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+    AS type_token_ratio
+FROM tok
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("text", "llm"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting & lexical-diversity stats per document — all
+    higher-order array expressions, no tokenizer UDF.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.size(TX.distinct_tokens("text")).alias("n_uniq_tokens"),
+        TX.avg_token_len("text").alias("avg_token_len"),
+        TX.type_token_ratio("text").alias("type_token_ratio"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_QUALITY_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, n_chars, text, {_SQL_TOKS} AS toks FROM documents
+), m AS (
+  SELECT
+    doc_id,
+    n_chars,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INTEGER) AS n_punct,
+    CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr
+  FROM tok
+)
+SELECT
+  doc_id, n_tokens, n_punct, stopword_ratio, ttr,
+  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * ttr
+    + 0.2 * least(1.0, stopword_ratio * 5.0)
+    + 0.1 * (1.0 - least(1.0, CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)))
+    AS quality_score
+FROM m
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text", "llm"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, lexical diversity, stopword
+    density, punctuation ratio — the standard pre-training filter
+    signals, combined into one [0,1] score.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tokens = F.size(toks)
+    n_punct = TX.punct_count("text")
+    stop_ratio = TX.stopword_hits(toks, _STOPWORDS).cast("double") / n_tokens.cast(
+        "double"
+    )
+    ttr = TX.type_token_ratio("text")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * ttr
+        + 0.2 * F.least(F.lit(1.0), stop_ratio * 5.0)
+        + 0.1
+        * (
+            F.lit(1.0)
+            - F.least(
+                F.lit(1.0), n_punct.cast("double") / F.col("n_chars").cast("double")
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        quality.alias("quality_score"),
+    )
+
+
+_LANG_SETS = {
+    "en": ["the", "a", "and", "of", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+def _sql_hits(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_SETS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+_LANG_ID_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    {_sql_hits('en')} AS h_en,
+    {_sql_hits('de')} AS h_de,
+    {_sql_hits('fr')} AS h_fr,
+    {_sql_hits('es')} AS h_es
+  FROM tok
+)
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  CASE
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+    WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+    WHEN h_es > 0 THEN 'es'
+    ELSE 'und'
+  END AS detected_lang
+FROM hits
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANG_ID_ORACLE, tags=("text", "llm"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID (argmax over per-language hit counts,
+    fixed priority tie-break, 'und' when no list hits). The standard
+    cheap LID gate before an expensive model-based one.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    h = {k: TX.stopword_hits(toks, v) for k, v in _LANG_SETS.items()}
+    detected = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"])
+            & (h["en"] > 0),
+            F.lit("en"),
+        )
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]) & (h["de"] > 0), F.lit("de"))
+        .when((h["fr"] >= h["es"]) & (h["fr"] > 0), F.lit("fr"))
+        .when(h["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_SQL_COS = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),"
+    " CAST(c.embedding AS DOUBLE[]))), 0.0)"
+)
+
+_TOPK_ORACLE = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+FROM embeddings q
+JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 5
+"""
+
+
+@register("embedding_topk_cosine", oracle=_TOPK_ORACLE, tags=("vector", "llm"))
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for a query subset — the exact
+    baseline every ANN variant is measured against. Queries are tiny →
+    broadcast them and stream the candidate side; per-query top-k via
+    ranking window. Scale: O(|queries|·n) with no shuffle of the
+    candidate table (broadcast + window on query_id).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = VX.cosine("q_emb", "c_emb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+_SQL_BUCKET = (
+    "CAST(" + " + ".join(
+        f"CASE WHEN CAST({{side}}.embedding[{i + 1}] AS DOUBLE) > 0 THEN {2**i} ELSE 0 END"
+        for i in range(8)
+    ) + " AS INTEGER)"
+)
+
+_LSH_TOPK_ORACLE = f"""
+SELECT
+  q.vec_id AS query_id,
+  c.vec_id AS neighbor_id,
+  {_SQL_BUCKET.format(side='q')} AS bucket,
+  {_SQL_COS} AS cos_sim
+FROM embeddings q
+JOIN embeddings c
+  ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+ AND {_SQL_BUCKET.format(side='q')} = {_SQL_BUCKET.format(side='c')}
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 3
+"""
+
+
+@register("embedding_lsh_topk", oracle=_LSH_TOPK_ORACLE, tags=("vector", "llm"))
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-bit LSH bucketing: candidates restricted to
+    the query's hyperplane-sign bucket (equi-join on bucket id), exact
+    cosine re-rank within the bucket. The scale path: shuffle keys are
+    bucket ids; candidate work drops ~2^bits-fold vs brute force.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    with_bucket = e.select(
+        "vec_id", "embedding", VX.sign_bucket("embedding", 8).alias("bucket")
+    )
+    q = with_bucket.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("bucket"),
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    sim = VX.cosine("q_emb", "c_emb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_bucket") == F.col("bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "bucket", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_CENTROIDS_ORACLE = """
+SELECT
+  e.label,
+  CAST(i - 1 AS INTEGER) AS pos,
+  CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+    AS centroid_val
+FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+GROUP BY e.label, i
+"""
+
+
+@register("label_centroids", oracle=_CENTROIDS_ORACLE, tags=("vector", "llm", "agg"))
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long format (label, pos, centroid_val):
+    posexplode + hash-agg on (label, pos) — element-wise vector mean as
+    a pure shuffle-once aggregation; exact-decimal sums for
+    cross-engine equality.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(VX.as_double("embedding")).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count("*"))
+            .alias("centroid_val")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+_MM_META_ORACLE = """
+SELECT
+  doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+  md5(text) AS content_hash
+FROM documents
+"""
+
+
+@register("multimodal_binary_meta", oracle=_MM_META_ORACLE, tags=("multimodal", "llm"))
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary media columns (byte length,
+    content hash, modality tag) — the metadata-predicate layer that
+    must be pushed down BEFORE any decode at 100 TB (operators.
+    multimodal holds the decode stage).
+    """
+    from ucl_data_pipeline_spark.operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+@register("multimodal_feature_extract", oracle=None, tags=("multimodal", "llm"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/featurize via mapInPandas (stub codec —
+    deterministic byte-level features; see operators.multimodal). No
+    SQL oracle: the Python stage is engine-specific; driver records
+    rows-only, pytest asserts the feature values.
+    """
+    from ucl_data_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    media = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    return extract_features(media, decoder="stub")

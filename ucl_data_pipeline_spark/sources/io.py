@@ -41,8 +41,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scans get predicate pushdown + column pruning from Catalyst
     for free; callers should select/filter as early as convenient but
     correctness never depends on it.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the JVM
+    reader rejects; we read nanos as long and floor-convert to
+    microsecond timestamps (identical to DuckDB's ns→µs truncation).
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        nanos_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name == "ts" and isinstance(f.dataType, T.LongType)
+        ]
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def read_csv(

@@ -1,0 +1,10 @@
+"""Structured Streaming operators (SURVEY.md §2.9)."""
+
+from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_window_stream,
+    sliding_window_stream,
+    tumbling_window_stream,
+)

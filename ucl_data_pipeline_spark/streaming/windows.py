@@ -1,0 +1,159 @@
+"""Structured Streaming pipelines over the ``events`` stream.
+
+The reference is a daily full-recompute batch (SURVEY.md §2.9 — cron
+re-run, no state); its semantics are exactly Spark's
+``Trigger.AvailableNow`` batch-increment model. This module provides the
+genuine streaming operators the engine exposes:
+
+- tumbling / sliding window aggregations with watermarks,
+- session windows (gap-merge) per key,
+- ``dropDuplicatesWithinWatermark`` keyed dedup.
+
+Each transformation is written against an unbounded DataFrame and works
+identically on a bounded one — tests assert the AvailableNow streaming
+result equals the registered batch queries (plans.events_windows),
+which the driver oracle-checks against DuckDB. At scale these run
+against a file/Kafka source with checkpointing; state stores are keyed
+by (window/session, key) so state size is bounded by the watermark
+horizon, not the stream length.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_MICROS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events (micro-batched parquet directory).
+    At scale the same pipeline binds to Kafka by swapping this reader.
+    """
+    reader = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_window_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data watermark. State per
+    (window, event_type); windows finalize ``watermark`` past their end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation (each event in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap: Spark merges
+    overlapping session state as events arrive; a session closes once
+    the watermark passes its end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Keyed streaming dedup: keeps the first arrival per key, with
+    state expiring at the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of the
+    batch dedup_events_first query.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over currently
+    available input (Trigger.AvailableNow — the reference's
+    batch-increment cadence) into an in-memory sink; returns the result
+    as a DataFrame. Test/driver utility: production sinks are
+    parquet/Kafka writers with the same trigger.
+
+    Exactly-once semantics: reusing a ``checkpoint_dir`` resumes from
+    its recorded progress, so a rerun over already-processed input
+    yields an EMPTY result by design — pass a fresh checkpoint dir to
+    recompute from scratch.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
