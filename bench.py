@@ -45,9 +45,17 @@ def main() -> None:
         else list(REGISTRY)
     )
 
-    # Warm the JVM/session on a trivial action so query 1 doesn't pay
-    # session startup.
+    # Warm the JVM/session (codegen, parquet reader, shuffle machinery)
+    # so query 1 measures steady-state engine speed, not JIT startup.
     spark.range(1).collect()
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    warm = read_table(spark, sf_dir, "nation")
+    warm.groupBy("n_regionkey").agg(F.count("*")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -142,7 +142,12 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
             })
             yield out
 
-    pruned = media.select("media_id", "media_type", "payload")
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    # Prune to the blob + key BEFORE the Python stage (metadata
+    # predicates stay JVM-side), and fan out so Arrow batches decode on
+    # every core rather than the single scan split.
+    pruned = fan_out(media.select("media_id", "media_type", "payload"))
     return pruned.mapInPandas(batches, FEATURE_SCHEMA)
 
 

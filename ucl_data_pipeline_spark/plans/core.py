@@ -50,7 +50,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     with predicate pushdown, P4 filter, and partial+final hash agg
     (map-side combine — one shuffle of 4 groups, not 6M rows).
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    # fan_out: the driver testdata is a single row group → one scan
+    # split; decimal partial-aggregation is the CPU cost here, so
+    # spread it. On a real multi-split 100 TB table this exchange is
+    # dropped — partial agg before any shuffle is strictly better.
+    li = fan_out(read_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(4,2)")

@@ -141,8 +141,15 @@ FROM feat
 
 
 def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct 3-gram shingle set (the near-dup feature)."""
-    d = read_table(spark, sf_dir, "documents")
+    """doc_id + distinct 3-gram shingle set (the near-dup feature).
+
+    fan_out: shingling + md5 minhashing is the CPU-bound stage of every
+    near-dup operator — spread it across all cores before computing
+    (the testdata parquet is a single row group → single input split).
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("feats"),
@@ -206,23 +213,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join re-fetches only candidate docs' features. (For very
     skewed buckets, AQE skew-join splits the hot keys.)
     """
-    feats = _doc_features(spark, sf_dir)
+    feats = _doc_features(spark, sf_dir).persist()
     mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
     sig = feats.select(
         "doc_id",
-        "feats",
         F.md5(F.concat(mh[0], mh[1])).alias("band_0"),
         F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
         F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
     )
-    bucket = None
-    for i in range(3):
-        piece = sig.filter(F.col(f"band_{i}").isNotNull()).select(
-            "doc_id",
-            F.lit(i).alias("band_idx"),
-            F.col(f"band_{i}").alias("band_key"),
-        )
-        bucket = piece if bucket is None else bucket.unionByName(piece)
+    # One pass over sig → (doc_id, band_idx, band_key): posexplode
+    # instead of a 3-way union (a union would recompute the whole
+    # minhash lineage once per band).
+    bucket = sig.select(
+        "doc_id",
+        F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
+            "band_idx", "band_key"
+        ),
+    ).filter(F.col("band_key").isNotNull())
     a = bucket.alias("a")
     b = bucket.alias("b")
     cand = (
@@ -284,7 +291,7 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is proportional to real overlap, not n²), then exact
     Jaccard from set sizes. Ground truth for LSH recall.
     """
-    feats = _doc_features(spark, sf_dir)
+    feats = _doc_features(spark, sf_dir).persist()
     ex = feats.select("doc_id", F.explode("feats").alias("f"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -535,11 +542,15 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window. Scale: O(|queries|·n) with no shuffle of the
     candidate table (broadcast + window on query_id).
     """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = fan_out(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    )
     sim = VX.cosine("q_emb", "c_emb")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -61,6 +61,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition a compute-bound stage to full parallelism.
+
+    The driver testdata ships one row group per parquet file, so scans
+    arrive as a single partition and CPU-heavy per-row work (md5
+    minhashing, Arrow decode batches) would run on one core. At 100 TB
+    the scan itself yields thousands of splits and this becomes a
+    near-no-op (Spark skips the exchange when partitioning already
+    suffices is not guaranteed — keep fan_out on stages whose per-row
+    cost dwarfs one row-shuffle, where it is always worth it).
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
