@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: these assert the SHAPE of the plan —
+the properties that decide 100 TB viability — not just results.
+
+- dimension joins broadcast (no shuffle of the fact side),
+- filters and column pruning reach the parquet scan,
+- no Python evaluation in non-Python queries (whole-stage codegen),
+- global top-N runs as TakeOrderedAndProject (no total sort),
+- correlated EXISTS decorrelates to a semi join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ucl_data_pipeline_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_chain_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enrich_broadcast_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    assert "IsNotNull(o_custkey)" in plan.split("PushedFilters")[1]
+    assert "GreaterThan(o_totalprice,100000.0)" in plan.split("PushedFilters")[1]
+    # Only the 5 needed columns are scanned (column pruning): the
+    # unused o_orderpriority never appears anywhere in the plan.
+    assert "o_orderpriority" not in plan
+
+
+def test_no_python_eval_outside_python_operators(spark, sf_dir):
+    for name in ("pricing_summary", "haversine_travel", "dedup_minhash_lsh",
+                 "text_quality_score", "embedding_topk_cosine",
+                 "session_window_agg"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_python_stage_only_in_multimodal(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_feature_extract")
+    assert "MapInPandas" in plan  # the sanctioned Arrow-batched escape hatch
+
+
+def test_topn_avoids_total_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_correlated_exists_becomes_semi_join(spark, sf_dir):
+    opt = _optimized(spark, sf_dir, "correlated_exists")
+    assert "LeftSemi" in opt  # decorrelated, not per-row subquery
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # AQE only finalizes the physical plan after execution, so run the
+    # query before inspecting for codegen stages.
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Codegen stages render as "*(n) Operator" in the string plan.
+    assert "*(1)" in plan
+
+
+def test_lsh_candidates_join_on_band_key(spark, sf_dir):
+    # The LSH self-join must be an equi-join (hash/sort-merge on the
+    # band key), never a nested-loop cartesian.
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    # Scale layout: facts partitioned by a date-derived column →
+    # downstream scans prune partitions at the source.
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table, write_parquet
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(orders, out, partition_by=["order_year"])
+    scan = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    got_years = {r.order_year for r in scan.select("order_year").distinct().collect()}
+    assert got_years == {1996}

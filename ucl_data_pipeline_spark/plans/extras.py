@@ -1,0 +1,221 @@
+"""Inventory extensions: order statistics, moment statistics (exact-sum
+formulations), pivot, SQL subqueries (correlated EXISTS / scalar), and
+the string-function surface — rounding out the engine capabilities
+beyond the reference (SURVEY.md §7 Phase 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register, sql_davg
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_PERCENTILE_ORACLE = """
+SELECT
+  o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS median_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentile_prices", oracle=_PERCENTILE_ORACLE, tags=("agg",))
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics (median / p90, linear interpolation) per
+    group. At 100 TB the approx_percentile sketch replaces this
+    (exact percentile needs a per-group sort); both are exposed.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# Moment statistics from EXACT decimal sums: variance/stddev/corr
+# computed by explicit formula over Σx, Σx², Σxy so both engines do the
+# identical double arithmetic at the end (built-in stddev/corr use
+# engine-specific streaming algorithms whose results differ in the last
+# bits — same reason we avoid avg() directly).
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+    AS corr_qty_price
+FROM s
+"""
+
+
+@register("stats_moments", oracle=_MOMENTS_ORACLE, tags=("agg",))
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per group via exact-sum
+    formulation — bit-identical across engines, and at scale a single
+    shuffle carrying five partial sums per group (the same shape the
+    built-in streaming moments use).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  o_orderpriority,
+  COALESCE(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_f,
+  COALESCE(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_o,
+  COALESCE(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_status_counts", oracle=_PIVOT_ORACLE, tags=("agg",))
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — the
+    explicit list matters at scale: it avoids the extra
+    distinct-values job and bounds output width.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+_EXISTS_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+AND c.c_acctbal > 1000.0
+"""
+
+
+@register("correlated_exists", oracle=_EXISTS_ORACLE, tags=("join", "sql"))
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface — Catalyst decorrelates
+    to a left-semi hash join (no per-row subquery execution); asserted
+    in tests/test_plans.py.
+    """
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer_sq c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+        AND c.c_acctbal > 1000.0
+    """)
+
+
+_SCALAR_SUBQ_ORACLE = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT {sql_davg('o_totalprice')} FROM orders)
+"""
+
+
+@register("scalar_subquery_filter", oracle=_SCALAR_SUBQ_ORACLE, tags=("sql", "agg"))
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 1.5× the global
+    mean): Catalyst executes the subquery once and broadcasts the
+    scalar; exact-decimal mean for cross-engine equality.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ssq
+        WHERE o_totalprice > 1.5 * (SELECT {sql_davg('o_totalprice')} FROM orders_ssq)
+    """)
+
+
+_STRINGS_ORACLE = """
+SELECT
+  p_partkey,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  substring(p_name, 1, 8) AS name_head,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  replace(p_type, ' ', '_') AS type_snake,
+  split_part(p_type, ' ', 1) AS type_first_word,
+  strpos(p_type, 'BRUSHED') AS brushed_pos,
+  reverse(p_brand) AS brand_rev,
+  translate(p_brand, '#', '-') AS brand_dashed,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  CASE WHEN p_type LIKE '%STEEL%' THEN 1 ELSE 0 END AS is_steel
+FROM part
+"""
+
+
+@register("string_functions", oracle=_STRINGS_ORACLE, tags=("scalar", "text"))
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string surface: concat_ws / substring / pad / replace
+    / split_part / strpos / reverse / translate / length / LIKE — all
+    codegen'd JVM expressions.
+    """
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dashed"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_type").like("%STEEL%"), 1).otherwise(0).alias("is_steel"),
+    )
