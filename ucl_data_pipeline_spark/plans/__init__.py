@@ -12,6 +12,7 @@ from ucl_data_pipeline_spark.plans import analytics  # noqa: F401
 from ucl_data_pipeline_spark.plans import llm_ops  # noqa: F401
 from ucl_data_pipeline_spark.plans import events_windows  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras  # noqa: F401
+from ucl_data_pipeline_spark.plans import temporal  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls

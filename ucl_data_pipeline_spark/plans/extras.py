@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register, sql_davg
+from ucl_data_pipeline_spark.plans.registry import register, sql_davg, sql_dsum
 from ucl_data_pipeline_spark.sources.io import read_table
 
 _PERCENTILE_ORACLE = """
@@ -197,6 +197,140 @@ SELECT
   CASE WHEN p_type LIKE '%STEEL%' THEN 1 ELSE 0 END AS is_steel
 FROM part
 """
+
+
+_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE ((o_orderkey * 2654435761) % 4294967296) % 20 = 0
+"""
+
+
+@register("deterministic_sample", oracle=_SAMPLE_ORACLE, tags=("sample",))
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~5% sample via a multiplicative key hash (Knuth
+    constant, mod 2^32) — the pattern for stable train/eval splits:
+    membership is a pure function of the key, so re-runs, backfills,
+    and different engines agree row-for-row. ``df.sample()`` is
+    partition-layout-dependent and ``F.xxhash64`` engine-specific;
+    neither can be cross-checked. Scale: embarrassingly parallel
+    filter, pushed to the scan, no shuffle.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    h = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296))
+    return o.filter(h % 20 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_COLLECT_ORACLE = """
+SELECT
+  s_nationkey,
+  COUNT(*) AS n_suppliers,
+  list_sort(list(s_name)) AS supplier_names
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("collect_sorted_list", oracle=_COLLECT_ORACLE, tags=("agg", "array"))
+def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped list aggregation (collect_list → array column). The
+    explicit ``sort_array`` matters: distributed collect order is
+    partition-dependent, so any downstream hash/compare needs the
+    canonical ordering imposed here. Scale: list size is bounded by
+    group fan-in — for unbounded groups prefer top-N-per-group
+    (window) or a sketch, never an unbounded collect.
+    """
+    s = read_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
+    )
+
+
+_JSON_RT_ORACLE = """
+WITH j AS (
+  SELECT
+    o_orderkey,
+    to_json(struct_pack(
+      o_orderkey := o_orderkey,
+      o_orderstatus := o_orderstatus,
+      o_totalprice := o_totalprice
+    )) AS js
+  FROM orders
+)
+SELECT
+  o_orderkey,
+  json_extract_string(js, '$.o_orderstatus') AS status_rt,
+  CAST(json_extract(js, '$.o_totalprice') AS DOUBLE) AS price_rt
+FROM j
+"""
+
+
+@register("json_roundtrip", oracle=_JSON_RT_ORACLE, tags=("scalar", "json"))
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize row structs to JSON strings and parse them back
+    (``to_json`` / ``from_json`` with an explicit schema) — the
+    columnar JSON codec path used at ingest/egress boundaries (S3/F12
+    in SURVEY.md §2). Doubles survive exactly: both engines print
+    shortest round-trippable representations. All JVM-side, codegen'd.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    js = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    parsed = F.from_json(
+        js, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed["o_orderstatus"].alias("status_rt"),
+        parsed["o_totalprice"].alias("price_rt"),
+    )
+
+
+_SALTED_ORACLE = f"""
+SELECT
+  s.s_suppkey,
+  s.s_name,
+  COUNT(*) AS n_items,
+  {sql_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_ORACLE, tags=("join", "skew", "agg"))
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join: the fact side is salted
+    (key → (key, salt)) and the dimension side replicated ×SALT, so one
+    hot key spreads over SALT reducers instead of straggling on one.
+    Results are identical to the plain join (oracle is the plain SQL).
+
+    Demonstrated with a deterministic salt and a forced sort-merge join
+    (a broadcast would hide the shuffle this technique exists to fix).
+    In production AQE's skewedJoin handles moderate skew; explicit
+    salting is for the pathological keys AQE can't split (single-key
+    hot partitions in the map output).
+    """
+    from ucl_data_pipeline_spark.plans.registry import dsum
+
+    n_salt = 8
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .crossJoin(
+            spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    joined = li.hint("merge").join(
+        sup,
+        (li["l_suppkey"] == sup["s_suppkey"]) & (li["salt"] == sup["salt"]),
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
 
 
 @register("string_functions", oracle=_STRINGS_ORACLE, tags=("scalar", "text"))

@@ -655,6 +655,119 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DEDUP_ORACLE = f"""
+WITH universe AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5),
+         label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+b AS (
+  SELECT vec_id, label, embedding, {_SQL_BUCKET.format(side='universe')} AS bucket
+  FROM universe
+),
+dup AS (
+  SELECT DISTINCT c.vec_id
+  FROM b q JOIN b c
+    ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+  WHERE {_SQL_COS} > 0.9
+)
+SELECT u.vec_id, u.label
+FROM universe u ANTI JOIN dup d ON u.vec_id = d.vec_id
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE, tags=("dedup", "vector", "llm"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: candidate pairs from
+    the sign-bit LSH bucket equi-join, exact cosine refine (> 0.9),
+    keep-lowest-id policy (a row is dropped iff a smaller-id near-dup
+    exists — the standard greedy dedup; full connected components
+    would need an iterative union-find pass, out of SQL's reach).
+
+    The synthetic corpus has no natural near-dups (max pairwise cosine
+    ≈ 0.51), so the universe is seeded with scaled copies of every
+    10th vector (scaling preserves cosine ≈ 1.0 and, being a power of
+    two, is float-exact in both engines); the operator must drop
+    exactly those copies.
+
+    Scale: the self-join key is the bucket id, so candidate volume is
+    sum over buckets of |bucket|² rather than n² — the same reason
+    MinHash-LSH banding works for text. Anti-join back is a broadcast
+    of the (small) duplicate-id set.
+    """
+    base = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double("embedding").alias("embedding"), "label"
+    )
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+        "label",
+    )
+    e = base.unionByName(copies)
+    with_bucket = e.select(
+        "vec_id", "embedding", VX.sign_bucket("embedding", 8).alias("bucket")
+    )
+    q = with_bucket.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    dup_ids = (
+        q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") < F.col("c_id")))
+        .filter(VX.cosine("q_emb", "c_emb") > 0.9)
+        .select(F.col("c_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_ids, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_ARRAY_FN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+  list_slice(toks, 1, 3) AS first3,
+  CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark,
+  CAST(COALESCE(list_position(toks, 'spark'), 0) AS INTEGER) AS spark_pos,
+  CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long_tokens,
+  array_to_string(list_sort(list_distinct(toks)), '-') AS vocab_key
+FROM t
+"""
+
+
+@register("array_functions", oracle=_ARRAY_FN_ORACLE, tags=("array", "text", "llm"))
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-column surface over tokenized text: size / distinct /
+    slice / contains / position / lambda filter / sort — all Catalyst
+    higher-order functions, zero Python. This is the substrate the
+    dedup shingling and token statistics are built from; arrays stay
+    columnar (no explode) so there's no row-count blowup at scale.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.concat_ws("-", F.array_sort(F.array_distinct(toks))).alias("vocab_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payloads + typed metadata)
 # ---------------------------------------------------------------------------

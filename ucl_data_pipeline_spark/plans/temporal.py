@@ -1,0 +1,211 @@
+"""Temporal / ordered-data operators: as-of join, range join, calendar
+gap-filling, and quantile bucketing (ntile).
+
+These are the operators a time-series or training-data pipeline needs
+that plain equi-join SQL doesn't give you directly. Each is expressed
+as a composition of built-in DataFrame ops (SURVEY.md §2.5 notes the
+reference has no window functions at all — its "latest vs previous
+season" list-indexing, `fetch_fbr_team_xg.py:32-34`, is the closest
+analog), so Catalyst plans and codegens everything.
+
+Scale notes per operator are in the docstrings — the common theme:
+express ordered semantics as window functions over a single
+partitioned shuffle rather than self-joins, which at 100 TB turn into
+quadratic range-intersections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register, sql_dsum
+from ucl_data_pipeline_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id, ts, last_error_value FROM (
+  SELECT
+    event_id, user_id, ts, event_type,
+    LAST_VALUE(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS last_error_value
+  FROM events
+) WHERE event_type = 'click'
+"""
+
+
+@register("as_of_join", oracle=_ASOF_ORACLE, tags=("temporal", "window", "join"))
+def as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each 'click' event picks up the most
+    recent 'error' value for the same user at-or-before its timestamp.
+
+    Implemented the scalable way: union-and-carry-forward — one shuffle
+    on user_id, ordered window, ``last(..., ignorenulls)`` — instead of
+    the naive inequality self-join (``e2.ts <= e1.ts``), which Spark
+    would execute as a per-user range intersection growing
+    quadratically with events-per-user. The window form is linear and
+    streaming-friendly (same shape as applyInPandasWithState carry-over
+    state).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_error_value",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "last_error_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("low", 0.0, 100000.0),
+    ("mid", 100000.0, 300000.0),
+    ("high", 300000.0, 1000000000.0),
+]
+
+_RANGE_ORACLE = f"""
+SELECT b.band, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS sum_price
+FROM orders o
+JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
+  AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+@register("range_join_bands", oracle=_RANGE_ORACLE, tags=("temporal", "join", "agg"))
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/band) join: orders matched to a price-band
+    dimension on lo <= price < hi, then aggregated per band.
+
+    The band table is tiny and broadcast, so the non-equi predicate
+    runs as BroadcastNestedLoopJoin — the *correct* physical plan here:
+    each fact row tests 3 bands with zero shuffle. The anti-pattern at
+    scale is a non-equi join between two LARGE sides (a real cartesian);
+    when both sides are big, bucketize the range into equi-join keys
+    first (as the LSH operators in llm_ops do).
+    """
+    from ucl_data_pipeline_spark.plans.registry import dsum
+
+    o = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-filling (dense time grid)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+),
+days AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, COALESCE(daily.n, 0) AS n_events
+FROM days d
+CROSS JOIN types t
+LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+"""
+
+
+@register("gap_fill_daily", oracle=_GAPFILL_ORACLE, tags=("temporal", "agg"))
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily counts per event type — missing (day, type) cells
+    filled with 0 by joining aggregates against a generated calendar
+    (``F.sequence`` + ``explode``).
+
+    Scale shape: the expensive side (raw events) is reduced to
+    per-(day, type) counts FIRST (map-side combinable agg), and only
+    then joined to the tiny generated grid — never the other way
+    around. The grid side is O(days × types), broadcastable for any
+    realistic horizon.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    days = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    return grid.join(F.broadcast(daily), ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucketing (ntile)
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  o_totalprice,
+  CAST(ntile(4) OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+  ) AS INTEGER) AS quartile
+FROM orders
+"""
+
+
+@register("ntile_quartiles", oracle=_NTILE_ORACLE, tags=("temporal", "window"))
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile bucketing via ``ntile(4)`` — the windowed
+    equal-frequency binning used for stratifying training data. Fully
+    deterministic: ties broken by the unique key in the ORDER BY.
+
+    Scale: one shuffle on the partition key; within-partition sort.
+    For GLOBAL quantiles over 100 TB use approx_percentile cutpoints +
+    a broadcast range join instead of a single-partition window.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
