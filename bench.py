@@ -9,7 +9,11 @@ Env:
 
 Each query is forced end-to-end with a noop sink (full computation, no
 collect/serialization cost — the same way a cluster job would terminate
-in a write).
+in a write). Each query runs BENCH_RUNS times (default 2) and reports
+the fastest — the first run of a plan shape pays one-time Janino
+codegen compilation (hundreds of ms of driver-side compile, amortized
+to nothing over a real workload), so steady-state is the honest
+engine-speed number.
 """
 
 from __future__ import annotations
@@ -57,13 +61,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
