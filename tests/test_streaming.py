@@ -21,6 +21,7 @@ from ucl_data_pipeline_spark.streaming import (
     run_available_now,
     session_window_stream,
     tumbling_window_stream,
+    user_running_totals_stream,
 )
 
 
@@ -57,6 +58,32 @@ def test_session_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
     want = session_window_agg(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path):
+    # One file per trigger forces TWO micro-batches, so state genuinely
+    # carries across batches (the fixture writes 2 parquet files); the
+    # LAST emitted row per user must equal the batch aggregate.
+    from pyspark.sql import functions as F
+
+    stream = user_running_totals_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="update")
+    finals = {}
+    for r in got.collect():  # memory sink preserves batch emission order
+        finals[r.user_id] = (r.n_events, r.sum_value)
+    want = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    )
+    assert len(finals) == len(want)
+    for r in want:
+        n, s = finals[r.user_id]
+        assert n == r.n
+        assert abs(s - r.s) < 1e-6
 
 
 def test_dedup_within_watermark_keeps_one_per_key(

@@ -7,4 +7,5 @@ from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
     session_window_stream,
     sliding_window_stream,
     tumbling_window_stream,
+    user_running_totals_stream,
 )

@@ -132,6 +132,56 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+RUNNING_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_RUNNING_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.DoubleType()),
+])
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained in the state store across
+    micro-batches, emitting the updated totals for each user touched by
+    a batch.
+
+    This is the arbitrary-state escape hatch for semantics the built-in
+    windowed aggregations can't express (per-key accumulators, custom
+    session logic, model-feature decay). State is one tiny tuple per
+    user — bounded by key cardinality, not stream length; at scale pair
+    it with a state TTL (``GroupStateTimeout``) so abandoned keys age
+    out.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
 ) -> DataFrame:
