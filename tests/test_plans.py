@@ -83,6 +83,43 @@ def test_lsh_candidates_join_on_band_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_shapes_broadcast_dims_and_topn(spark, sf_dir):
+    for name in ("shipping_priority_top10", "returned_items_top20"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "TakeOrderedAndProject" in plan, name  # top-N, not global sort
+    q5 = _plan(spark, sf_dir, "local_supplier_volume")
+    # All four dimension edges broadcast (at sf0.001 the filtered
+    # orders side broadcasts too — the right call at that size); at
+    # most the lineitem⨝orders fact spine may shuffle. Never a
+    # cartesian.
+    assert q5.count("BroadcastHashJoin") >= 4
+    assert q5.count("SortMergeJoin") + q5.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in q5 and "BroadcastNestedLoopJoin" not in q5
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    # The correct physical plan for fact × tiny-band non-equi join:
+    # broadcast the 3-row bands, never shuffle or cartesian the fact.
+    plan = _plan(spark, sf_dir, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_as_of_join_single_shuffle(spark, sf_dir):
+    # Carry-forward formulation: exactly one hash exchange (user_id),
+    # no join operator at all.
+    plan = _plan(spark, sf_dir, "as_of_join")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_deterministic_sample_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "deterministic_sample")
+    assert "Exchange" not in plan  # pure parallel filter, no shuffle
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # Scale layout: facts partitioned by a date-derived column →
     # downstream scans prune partitions at the source.

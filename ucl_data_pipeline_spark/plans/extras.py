@@ -75,7 +75,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carrying five partial sums per group (the same shape the
     built-in streaming moments use).
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    li = fan_out(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     qd = F.col("l_quantity").cast("decimal(12,2)")
     pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
     s = li.groupBy("l_returnflag").agg(
@@ -274,7 +280,13 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SURVEY.md §2). Doubles survive exactly: both engines print
     shortest round-trippable representations. All JVM-side, codegen'd.
     """
-    o = read_table(spark, sf_dir, "orders")
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    o = fan_out(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
     js = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
     parsed = F.from_json(
         js, "o_orderkey bigint, o_orderstatus string, o_totalprice double"

@@ -228,7 +228,11 @@ def date_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     → NULL (reference: pd.to_datetime(dayfirst=True),
     scripts/fetch_football_data.py:45).
     """
-    o = read_table(spark, sf_dir, "orders")
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    o = fan_out(
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    )
     date_str = (
         F.when(
             F.col("o_orderkey") % 3 == 0,

@@ -1,0 +1,175 @@
+"""TPC-H-shaped analytical queries over the star schema — the classic
+multi-join + aggregate + top-N patterns (Q3 / Q5 / Q10 shapes, adapted
+to the driver's synthetic columns).
+
+These are the "whole query" integration points over the operator
+library: dimension-side broadcasts, fact-fact shuffle joins on the
+orderkey spine, decimal-exact revenue aggregation, and
+TakeOrderedAndProject top-N. Plan shapes are asserted in
+tests/test_plans.py.
+
+Scale notes: orders⨝lineitem is the one genuinely large shuffle in
+each query — on a real deployment both facts are bucketed by orderkey
+(co-located join, no exchange) or the join runs under AQE with skew
+splitting; the dimension edges (customer, nation, region, supplier)
+all broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_REV_SQL = (
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+)
+
+
+def _revenue() -> F.Column:
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        )
+    ).cast("double")
+
+
+_Q3_ORACLE = f"""
+SELECT
+  o.o_orderkey,
+  {_REV_SQL} AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_top10", oracle=_Q3_ORACLE, tags=("tpch", "join", "agg", "sort"))
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem, revenue
+    per unshipped order, top-10. The customer side collapses to a
+    broadcast after its filter; the orderkey join is the only shuffle;
+    the final top-10 is TakeOrderedAndProject (no global sort).
+    Deterministic: orderkey tie-break in the ordering.
+    """
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1999-01-01"
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1999-01-01"
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT
+  n.n_name,
+  {_REV_SQL} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume", oracle=_Q5_ORACLE, tags=("tpch", "join", "agg"))
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: six-table join — revenue by nation where supplier and
+    customer share the nation. region/nation/customer/supplier all
+    broadcast; lineitem⨝orders is the single shuffle; the
+    supplier-nation equality is just one more conjunct on a broadcast
+    join, not an extra exchange.
+    """
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == l["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  {_REV_SQL} AS revenue,
+  n.n_name,
+  c.c_acctbal
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items_top20", oracle=_Q10_ORACLE, tags=("tpch", "join", "agg", "sort"))
+def returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers ranked by revenue of returned items over a
+    quarter-equivalent window. Same physical skeleton as Q3/Q5 —
+    broadcast dims, one fact shuffle, top-N without a global sort.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+    )
