@@ -120,6 +120,38 @@ def test_deterministic_sample_pushes_filter_to_scan(spark, sf_dir):
     assert "Exchange" not in plan  # pure parallel filter, no shuffle
 
 
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    # Co-located join layout: both facts bucketed on the orderkey spine
+    # → the join runs with ZERO Exchange operators (the 100 TB answer
+    # to the fact-fact shuffle; bucket once at write, join forever).
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table, write_bucketed
+
+    write_bucketed(
+        read_table(spark, sf_dir, "orders"), "orders_b", ["o_orderkey"], 8
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "lineitem"), "lineitem_b", ["l_orderkey"], 8
+    )
+    try:
+        joined = (
+            spark.table("lineitem_b")
+            .hint("merge")  # forbid broadcast so colocation is what's tested
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == read_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # Scale layout: facts partitioned by a date-derived column →
     # downstream scans prune partitions at the source.

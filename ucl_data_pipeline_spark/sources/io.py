@@ -177,6 +177,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table —
+    the co-located-join layout: two tables bucketed the same way on
+    the join key join WITHOUT an exchange (asserted in
+    tests/test_plans.py). This is the 100 TB answer to the
+    orderkey-spine shuffle in every fact-fact join: pay the shuffle
+    once at write time, never at read time. Bucket count is a layout
+    contract — both sides must match (Spark won't coalesce unequal
+    bucket counts without shuffling one side).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: headered CSV egress sink."""
     df.write.mode(mode).option("header", "true").csv(path)
