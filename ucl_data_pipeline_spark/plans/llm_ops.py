@@ -384,6 +384,44 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct pieces
+# with leading-space absorption), restricted to syntax Java regex and
+# DuckDB's RE2 interpret identically.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+_BPE_COUNT_ORACLE = rf"""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(n_chars AS DOUBLE)
+    / CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+    AS chars_per_bpe_token
+FROM documents
+"""
+
+
+@register("bpe_token_count", oracle=_BPE_COUNT_ORACLE, tags=("text", "llm"))
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pre-tokenizer regex (the cheap proxy for real tokenizer counts when
+    budgeting LLM training data). chars-per-token is the usual
+    compression-ratio quality signal. Pure regexp_extract_all — JVM
+    regex, codegen'd, no tokenizer UDF; a real BPE vocab would run as a
+    pandas_udf over Arrow batches.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / F.size(bpe).cast("double")).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 _SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
