@@ -49,6 +49,20 @@ def test_no_python_eval_outside_python_operators(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_all_queries_free_of_plan_smells(spark, sf_dir):
+    # Engine-wide invariants over every registered query's physical
+    # plan: no cartesian products, and no Python evaluation anywhere
+    # except the sanctioned multimodal Arrow stage. Catches regressions
+    # the per-query tests don't cover.
+    python_ok = {"multimodal_feature_extract"}
+    for name in REGISTRY:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in python_ok:
+            for smell in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+                assert smell not in plan, (name, smell)
+
+
 def test_python_stage_only_in_multimodal(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_feature_extract")
     assert "MapInPandas" in plan  # the sanctioned Arrow-batched escape hatch
