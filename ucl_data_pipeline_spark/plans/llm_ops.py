@@ -662,6 +662,118 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+cent AS (
+  SELECT label,
+         list(centroid_val ORDER BY pos) AS cvec
+  FROM (
+    SELECT e.label, i AS pos,
+           CAST(SUM(CAST(e.embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS centroid_val
+    FROM e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+    GROUP BY e.label, i
+  )
+  GROUP BY label
+),
+probe AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.label AS probe_label
+  FROM e q CROSS JOIN cent c
+  WHERE q.vec_id % 100 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_dot_product(q.embedding, c.cvec)
+               / nullif(sqrt(list_dot_product(q.embedding, q.embedding))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)), 0.0) DESC,
+             c.label
+  ) = 1
+)
+SELECT p.query_id, p.probe_label, c.vec_id AS neighbor_id,
+       list_dot_product(p.q_emb, c.embedding)
+         / nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))
+                  * sqrt(list_dot_product(c.embedding, c.embedding)), 0.0)
+         AS cos_sim
+FROM probe p
+JOIN e c ON c.label = p.probe_label AND c.vec_id <> p.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY p.query_id
+  ORDER BY cos_sim DESC, c.vec_id
+) <= 3
+"""
+
+
+@register("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("vector", "llm"))
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (per-label centroids — the
+    inverted-list structure; a k-means codebook at scale) assigns each
+    query to its nearest list (nprobe=1), then exact cosine top-3 runs
+    only within that list's vectors.
+
+    Scale shape: centroids are one tiny aggregated table (broadcast);
+    the candidate join key is the list id, so per-query work is
+    |list| not n — and lists can be PARTITION KEYS of the embedding
+    table, making each probe a partition-pruned scan. Exact-decimal
+    centroid means keep the quantizer cross-engine deterministic.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VX.as_double("embedding").alias("embedding")
+    )
+    # Inverted-list codebook: element-wise exact-decimal mean per label.
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count("*"))
+            .alias("centroid_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cvec")
+        )
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        VX.cosine("q_emb", "cvec").desc(), F.col("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    topk_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(probe),
+            (F.col("c_label") == F.col("probe_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "probe_label",
+            "neighbor_id",
+            VX.cosine("q_emb", "c_emb").alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
 _CENTROIDS_ORACLE = """
 SELECT
   e.label,
