@@ -54,7 +54,7 @@ def test_all_queries_free_of_plan_smells(spark, sf_dir):
     # plan: no cartesian products, and no Python evaluation anywhere
     # except the sanctioned multimodal Arrow stage. Catches regressions
     # the per-query tests don't cover.
-    python_ok = {"multimodal_feature_extract"}
+    python_ok = {"multimodal_feature_extract", "multimodal_frame_sample"}
     for name in REGISTRY:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

@@ -319,3 +319,45 @@ def lead_and_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") / F.col("nation_bal")).alias("bal_share"),
         )
     )
+
+
+_COND_AGG_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big_qty,
+  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_heavy_disc,
+  CAST(SUM(CASE WHEN l_discount > 0.05
+       THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE)
+    AS heavy_disc_revenue,
+  CAST(SUM(CASE WHEN l_tax = 0.0
+       THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE)
+    AS taxfree_revenue,
+  CAST(COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS DOUBLE)
+    / COUNT(*) AS big_qty_share
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("conditional_agg", oracle=_COND_AGG_ORACLE, tags=("agg",))
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / filtered aggregation (count-if, sum-where,
+    conditional share) — one pass over the fact, every predicate a
+    branch inside the same partial aggregate; never N scans or a
+    self-join per condition.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    big = F.when(F.col("l_quantity") > 25, 1)
+    heavy = F.col("l_discount") > 0.05
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        F.count(big).alias("n_big_qty"),
+        F.count(F.when(heavy, 1)).alias("n_heavy_disc"),
+        F.sum(F.when(heavy, dec("l_extendedprice"))).cast("double").alias(
+            "heavy_disc_revenue"
+        ),
+        F.sum(F.when(F.col("l_tax") == 0.0, dec("l_extendedprice")))
+        .cast("double")
+        .alias("taxfree_revenue"),
+        (F.count(big).cast("double") / F.count("*")).alias("big_qty_share"),
+    )

@@ -966,3 +966,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
     return extract_features(media, decoder="stub")
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "llm"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over "video" payloads: chunk each blob into
+    frames and keep every stride-th one (bounded fan-out explode in an
+    Arrow-batched stage; a codec replaces the chunker on a real
+    cluster). Rows-only check: binary frame output has no SQL oracle;
+    pytest asserts chunk boundaries and stride.
+    """
+    from ucl_data_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    media = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_size=64, stride=2)
