@@ -361,3 +361,55 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("taxfree_revenue"),
         (F.count(big).cast("double") / F.count("*")).alias("big_qty_share"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT
+    o_orderpriority,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+             * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT
+  o.o_orderkey,
+  o.o_orderpriority,
+  o.o_totalprice,
+  ROUND((o.o_totalprice - s.sx / s.n)
+    / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS price_z
+FROM orders o JOIN s USING (o_orderpriority)
+"""
+
+
+@register("zscore_by_group", oracle=_ZSCORE_ORACLE, tags=("agg", "feature"))
+def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling pass of a
+    training pipeline): tiny exact-sum stats aggregate, broadcast back
+    onto the fact — two scan passes and zero wide shuffles, instead of
+    the window-function formulation that would sort every partition.
+    Exact-sum moments keep both engines bit-identical.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("decimal(12,2)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stats = s.select(
+        "o_orderpriority",
+        (sx / n).alias("mean_price"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_price"),
+    )
+    return o.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(
+            (F.col("o_totalprice") - F.col("mean_price")) / F.col("std_price"), 6
+        ).alias("price_z"),
+    )

@@ -60,9 +60,10 @@ WITH s AS (
 SELECT
   l_returnflag,
   n,
-  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+  ROUND((sxy - sx * sy / n)
+    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
     AS corr_qty_price
 FROM s
 """
@@ -97,11 +98,12 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        var_q.alias("var_qty"),
-        F.sqrt(var_q).alias("stddev_qty"),
-        (
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
         ).alias("corr_qty_price"),
     )
 
