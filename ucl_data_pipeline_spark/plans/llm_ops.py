@@ -983,3 +983,100 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_size=64, stride=2)
+
+
+_CC_ORACLE = rf"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
+), sig AS (
+  SELECT doc_id, feats,
+    md5({_sql_minhash(0)} || {_sql_minhash(1)}) AS band_0,
+    md5({_sql_minhash(2)} || {_sql_minhash(3)}) AS band_1,
+    md5({_sql_minhash(4)} || {_sql_minhash(5)}) AS band_2
+  FROM feat
+), bucket AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM sig WHERE band_0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, band_1 FROM sig WHERE band_1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, band_2 FROM sig WHERE band_2 IS NOT NULL
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bucket a
+  JOIN bucket b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN feat fa ON c.doc_a = fa.doc_id
+  JOIN feat fb ON c.doc_b = fb.doc_id
+  WHERE CAST(len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
+      / CAST(len(fa.feats) + len(fb.feats)
+             - len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
+      >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+)
+SELECT doc_id, MIN(r) AS component_id FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE, tags=("dedup", "llm", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full duplicate-GROUP resolution: connected components over the
+    MinHash-LSH near-dup pair graph (component id = smallest doc_id
+    reachable), via iterative min-label propagation to fixpoint — the
+    union-find completion that pairwise keep-lowest-id dedup
+    approximates. Oracle: the same components from a recursive CTE.
+
+    Scale shape: each round is one broadcast join (edges are sparse —
+    near-dup graphs are tiny relative to the corpus) + a min-aggregate;
+    rounds = component diameter (near-dup clusters are shallow, a
+    handful of rounds). localCheckpoint truncates the growing loop
+    lineage — the standard Spark iterative-algorithm pattern
+    (GraphFrames/GraphX do the same under the hood).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # cap ≫ any real near-dup cluster diameter
+        nbr = (
+            F.broadcast(edges)
+            .join(labels, F.col("dst") == F.col("doc_id"))
+            .select(F.col("src").alias("doc_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
