@@ -367,3 +367,26 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.when(F.col("p_type").like("%STEEL%"), 1).otherwise(0).alias("is_steel"),
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part
+"""
+
+
+@register("unpivot_metrics", oracle=_UNPIVOT_ORACLE, tags=("project", "reshape"))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → long (key, metric, value)
+    rows via the native ``unpivot`` operator — the reshape between
+    feature matrices and long-format stores. Columnar expansion, no
+    shuffle; the inverse of pivot_status_counts.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "metric_value")

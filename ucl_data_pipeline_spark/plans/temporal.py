@@ -209,3 +209,74 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_FFILL_ORACLE = """
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 <> 0 THEN value END AS reading
+  FROM events
+)
+SELECT event_id, user_id, ts, reading,
+  LAST_VALUE(reading IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS reading_ffill
+FROM masked
+"""
+
+
+@register("forward_fill", oracle=_FFILL_ORACLE, tags=("temporal", "window"))
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) of a sparse
+    sensor column — the standard time-series repair before feature
+    extraction. The corpus has no natural nulls, so every 5th reading
+    is deterministically masked first. Same linear carry-forward
+    window shape as the as-of join: one shuffle on the entity key,
+    never a self-join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.withColumn(
+        "reading_ffill", F.last("reading", ignorenulls=True).over(w)
+    )
+
+
+_SEQ_ORACLE = """
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  list(event_type ORDER BY ts, event_id) AS event_seq,
+  list(event_id ORDER BY ts, event_id)[1:5] AS first5_ids
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("user_event_sequences", oracle=_SEQ_ORACLE, tags=("temporal", "agg", "llm"))
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ordered event sequences (the behavioral-sequence
+    construction step of a training pipeline): collect structs, sort
+    once by (ts, id), project the ordered fields out — explicit
+    ordering because distributed collect order is partition-dependent.
+    Scale: one shuffle on the entity key; sequences bounded by per-user
+    fan-in (cap with a window top-N first when heavy-hitter users
+    exist).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.transform(seq, lambda s: s["event_type"]).alias("event_seq"),
+        F.slice(F.transform(seq, lambda s: s["event_id"]), 1, 5).alias("first5_ids"),
+    )
