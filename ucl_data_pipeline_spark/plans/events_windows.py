@@ -179,3 +179,45 @@ def dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+_HYPERTABLE_ORACLE = """
+SELECT
+  CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+  COALESCE(h, d) AS bucket_ts,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         event_type, value
+  FROM events
+)
+GROUP BY GROUPING SETS ((d, event_type), (h, event_type))
+"""
+
+
+@register("hypertable_rollup", oracle=_HYPERTABLE_ORACLE, tags=("events", "agg", "temporal"))
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-bucket rollup (hour + day continuous
+    aggregates) in ONE pass via GROUPING SETS — the hypertable /
+    continuous-aggregate pattern: every resolution shares the same
+    partial aggregation, instead of one scan per resolution. At scale
+    the output is itself partitioned by resolution and serves
+    dashboards without touching raw events.
+    """
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_ht")
+    return spark.sql("""
+        SELECT
+          CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+          COALESCE(h, d) AS bucket_ts,
+          event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 event_type, value
+          FROM events_ht
+        )
+        GROUP BY GROUPING SETS ((d, event_type), (h, event_type))
+    """)
