@@ -778,8 +778,8 @@ _CENTROIDS_ORACLE = """
 SELECT
   e.label,
   CAST(i - 1 AS INTEGER) AS pos,
-  CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-    AS centroid_val
+  ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+    / COUNT(*), 6) AS centroid_val
 FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
 GROUP BY e.label, i
 """
@@ -799,8 +799,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", "pos")
         .agg(
-            (F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count("*"))
-            .alias("centroid_val")
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid_val")
         )
     )
 
