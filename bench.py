@@ -83,6 +83,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                # Total grows with operator coverage; mean is the
+                # coverage-independent engine-speed number.
+                "mean_query_sec": round(total / max(1, len(timings)), 4),
             }
         )
     )

@@ -12,6 +12,7 @@ import pytest
 from ucl_data_pipeline_spark.plans.events_windows import (
     dedup_events_first,
     session_window_agg,
+    sliding_window_agg,
     tumbling_window_agg,
 )
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -50,6 +51,15 @@ def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     stream = tumbling_window_stream(read_events_stream(spark, events_dir))
     got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
     want = tumbling_window_agg(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    from ucl_data_pipeline_spark.streaming import sliding_window_stream
+
+    stream = sliding_window_stream(read_events_stream(spark, events_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    want = sliding_window_agg(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
 
 
