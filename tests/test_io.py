@@ -56,3 +56,41 @@ def test_conform_casts_types(spark):
     src = spark.createDataFrame([("3.5",), ("bad",)], "v: string")
     vals = [r.v for r in conform(src, target).collect()]
     assert vals[0] == 3.5 and vals[1] is None  # coerce-to-null (F7)
+
+
+def test_multi_format_roundtrip_fidelity(spark, sf_dir, tmp_path):
+    # Interchange formats (S5/S2 generalized): the same table written
+    # to parquet, orc, json-lines and csv must read back identically
+    # under an explicit schema (csv/json need one — they don't carry
+    # types).
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    want_rows = src.count()
+    want_sum = src.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+    ).collect()[0][0]
+    schema = src.schema
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.format(fmt).save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+        got = r.load(path)
+        assert got.schema == schema, fmt
+        assert got.count() == want_rows, fmt
+        got_sum = got.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        ).collect()[0][0]
+        assert got_sum == want_sum, fmt
