@@ -1047,7 +1047,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage — the standard Spark iterative-algorithm pattern
     (GraphFrames/GraphX do the same under the hood).
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the (tiny) pair set once — without this the union
+    # below would execute the whole LSH lineage twice, once per
+    # direction.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
