@@ -4,9 +4,10 @@ similarity search (brute-force + LSH-bucketed ANN), and text analysis
 (token stats, quality scoring, language-ID, fingerprints).
 
 These are first-class engine capabilities beyond the reference's
-surface (BASELINE.json north star). Everything except SimHash is
-oracle-checked exactly; hashes use md5 so DuckDB mirrors Spark
-bit-for-bit (see functions.text docstring).
+surface (BASELINE.json north star). Everything is oracle-checked
+exactly except the engine-native simhash_signatures fast path (its
+md5-sourced twin dedup_simhash IS oracle-checked); hashes use md5 so
+DuckDB mirrors Spark bit-for-bit (see functions.text docstring).
 
 Scale design (100 TB):
 - dedup/similarity never do O(n²) work: candidates come from equi-joins
@@ -1086,3 +1087,145 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+# Oracle-checkable SimHash (md5-nibble bit source — the engine-native
+# xxhash64 variant above is the production fast path). Both engines
+# compute: per-token 32 bits from the first 8 md5 hex nibbles → per-bit
+# majority vote → 32-bit signature → four 8-bit bands for LSH →
+# hamming-verified pairs.
+_HEXES = "0123456789abcdef"
+
+
+def _sql_simhash_votes() -> str:
+    cols = []
+    for b in range(32):
+        i, k = b // 4 + 1, b % 4
+        nib = f"(strpos('{_HEXES}', substr(md5(tok), {i}, 1)) - 1)"
+        cols.append(
+            f"SUM(CASE WHEN (({nib} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    return ",\n    ".join(cols)
+
+
+def _sql_pack(bits: range, var: str = "v") -> str:
+    return " + ".join(
+        f"(CASE WHEN {var}{b} > 0 THEN {2 ** (b - bits.start)} ELSE 0 END)"
+        for b in bits
+    )
+
+
+_SIMHASH_DEDUP_ORACLE = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+    {_sql_simhash_votes()}
+  FROM tok GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))} AS BIGINT) AS simhash,
+    {", ".join(f"CAST({_sql_pack(range(16 * k, 16 * k + 16))} AS INTEGER) AS band_{k}" for k in range(2))}
+  FROM votes
+), bucket AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {k} AS band_idx, band_{k} AS band_val FROM sig" for k in range(2))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bucket a
+  JOIN bucket b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 6
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_DEDUP_ORACLE, tags=("dedup", "llm"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, fully oracle-checked: md5-nibble bit
+    source (cross-engine), per-bit majority vote, 2×16-bit LSH bands
+    for candidates (wider bands = fewer, cleaner candidates at some
+    recall cost — the recall/cost dial of production SimHash dedup; on
+    this clustered-vocab corpus 8-bit bands generate ~10M candidate
+    combinations, 16-bit ~1.7M), hamming ≤ 6 verification via
+    bit_count(xor).
+
+    Scale: same shuffle shape as MinHash-LSH — band-key equi-join,
+    never O(n²); the signature is 8 bytes so the verify join carries
+    almost nothing.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select("doc_id", F.explode(TX.distinct_tokens("text")).alias("tok"))
+    # Materialize the digest nibbles ONCE per token row: aggregate
+    # expressions don't share subexpressions, so referencing md5(tok)
+    # inside all 32 votes would hash every token 32 times (measured
+    # ~7x slower).
+    hexes = F.lit(_HEXES)
+    md5c = F.md5("tok")
+    nibbled = tok.select(
+        "doc_id",
+        *[
+            (F.instr(hexes, F.substring(md5c, i + 1, 1)) - 1).alias(f"nib{i}")
+            for i in range(8)
+        ],
+    )
+    votes = []
+    for b in range(32):
+        i, k = b // 4, b % 4
+        bit = F.shiftright(F.col(f"nib{i}"), k).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    agg = nibbled.groupBy("doc_id").agg(*votes)
+
+    def pack(bits: range, offset: int) -> F.Column:
+        total = None
+        for b in bits:
+            piece = F.when(F.col(f"v{b}") > 0, F.lit(2 ** (b - offset))).otherwise(
+                F.lit(0)
+            )
+            total = piece if total is None else total + piece
+        return total
+
+    sig = agg.select(
+        "doc_id",
+        pack(range(32), 0).cast("long").alias("simhash"),
+        *[
+            pack(range(16 * k, 16 * k + 16), 16 * k).cast("int").alias(f"band_{k}")
+            for k in range(2)
+        ],
+    )
+    bucket = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[f"band_{k}" for k in range(2)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = bucket.alias("a")
+    b_ = bucket.alias("b")
+    # The hamming predicate goes INSIDE the join: hot bands on a
+    # clustered corpus generate millions of candidate combinations, and
+    # evaluating xor/bit_count inline streams them through the join
+    # (distinct only ever sees true near-dups) instead of materializing
+    # and deduplicating the full candidate set (~6x faster at sf0.1).
+    hamming_join = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming_join <= 6),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming_join.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
