@@ -1,0 +1,128 @@
+"""Scale-up smoke: how do the heavy operators behave at 10× bench data?
+
+Synthesizes an ~sf1 dataset in a temp dir by replicating sf0.1 with
+key-space offsets (row counts ×10, key cardinalities ×10 — preserving
+join fan-in per key, which is what actually stresses plans), writes it
+as MULTI-split parquet (so scans parallelize the way real 100 TB tables
+do, without fan_out), then times a representative heavy subset and
+prints per-query times plus the time ratio vs sf0.1.
+
+A ratio ≈ 10 means linear scaling (good for scans/aggs); join/window
+queries should stay well under ~10× thanks to partial aggregation and
+broadcast dims. Superlinear ratios flag operators whose plans won't
+survive a 100× scale-up.
+
+Usage: python tools/scale_smoke.py [--keep] 2>/dev/null
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark import get_spark
+from ucl_data_pipeline_spark.plans import REGISTRY
+from ucl_data_pipeline_spark.sources.io import read_table
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+
+# (table, [key columns to offset per copy]) — offsets keep per-key
+# fan-in constant instead of multiplying duplicates onto the same keys.
+TABLES = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+OFFSET = 10_000_000  # far above any sf0.1 key
+
+HEAVY = [
+    "pricing_summary",
+    "group_agg_basic",
+    "local_supplier_volume",
+    "returned_items_top20",
+    "window_top2_per_key",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk_cosine",
+    "embedding_ivf_topk",
+    "session_window_agg",
+    "as_of_join",
+    "salted_skew_join",
+]
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        for name, keys in TABLES.items():
+            src = read_table(spark, SRC, name)
+            if keys:
+                parts = []
+                for c in range(COPIES):
+                    df = src
+                    for k in keys:
+                        df = df.withColumn(k, F.col(k) + F.lit(c * OFFSET))
+                    parts.append(df)
+                import functools
+
+                big = functools.reduce(lambda a, b: a.unionByName(b), parts)
+            else:
+                big = src  # dims stay dims
+            n_files = 32 if keys else 1
+            big.repartition(n_files).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+
+        # Baseline timings at sf0.1 (same session, same code path)
+        def run(sf_dir: str) -> dict[str, float]:
+            t = {}
+            for q in HEAVY:
+                fn = REGISTRY[q].fn
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                t[q] = round(best, 3)
+            return t
+
+        small = run(SRC)
+        big_t = run(out_dir)
+        report = {
+            "copies": COPIES,
+            "queries": {
+                q: {
+                    "sf0.1_sec": small[q],
+                    "x10_sec": big_t[q],
+                    "ratio": round(big_t[q] / small[q], 2) if small[q] else None,
+                }
+                for q in HEAVY
+            },
+        }
+        print(json.dumps(report, indent=2))
+    finally:
+        if "--keep" not in sys.argv:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

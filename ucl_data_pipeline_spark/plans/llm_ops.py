@@ -157,6 +157,25 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like _doc_features but exact-duplicate-collapsed: one
+    representative (lowest doc_id) per distinct text. Near-dup stages
+    run on representatives — byte-identical copies are the exact-dedup
+    stage's job, and they are what makes LSH band buckets quadratic
+    (the 10x scale smoke measured 6-39x runtime growth without the
+    collapse; with it, near-dup cost tracks DISTINCT content volume,
+    not corpus volume).
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    rep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return rep.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("feats"),
+    )
+
+
 @register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE, tags=("dedup", "llm"))
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature (6 hashes over 3-gram shingles) per document.
@@ -169,8 +188,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_LSH_ORACLE = rf"""
-WITH tok AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
 ), feat AS (
   SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
 ), sig AS (
@@ -207,14 +228,15 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE, tags=("dedup", "llm"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH (3 bands × 2 rows), then
+    """Near-dup pairs via banded MinHash-LSH (3 bands × 2 rows) over
+    exact-duplicate-collapsed representatives (see _rep_features), then
     exact shingle-Jaccard verification ≥ 0.5 within candidate buckets.
 
     Scale shape: shuffle on (band_idx, band_key) — never O(n²). The
     verify join re-fetches only candidate docs' features. (For very
     skewed buckets, AQE skew-join splits the hot keys.)
     """
-    feats = _doc_features(spark, sf_dir).persist()
+    feats = _rep_features(spark, sf_dir).persist()
     mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
     sig = feats.select(
         "doc_id",
@@ -990,8 +1012,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_ORACLE = rf"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+WITH RECURSIVE rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
 ), feat AS (
   SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
 ), sig AS (
@@ -1020,10 +1044,18 @@ WITH RECURSIVE tok AS (
       / CAST(len(fa.feats) + len(fb.feats)
              - len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
       >= 0.5
+), exact_pairs AS (
+  SELECT r.doc_id AS doc_a, d.doc_id AS doc_b
+  FROM documents d JOIN rep r ON d.text = r.text
+  WHERE d.doc_id <> r.doc_id
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
+  UNION ALL
+  SELECT doc_a, doc_b FROM exact_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM exact_pairs
 ), reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -1048,10 +1080,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage — the standard Spark iterative-algorithm pattern
     (GraphFrames/GraphX do the same under the hood).
     """
-    # Materialize the (tiny) pair set once — without this the union
-    # below would execute the whole LSH lineage twice, once per
+    # Edge set = near-dup pairs among exact-collapsed representatives
+    # (dedup_minhash_lsh) PLUS (representative, copy) edges for exact
+    # duplicates, so byte-identical copies land in their
+    # representative's component. Materialized once — without this the
+    # union below would execute the whole LSH lineage twice, once per
     # direction.
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
+    exact = (
+        docs.join(rep, "text")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = near.unionByName(exact).localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1116,8 +1159,10 @@ def _sql_pack(bits: range, var: str = "v") -> str:
 
 
 _SIMHASH_DEDUP_ORACLE = rf"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT DISTINCT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM rep
 ), votes AS (
   SELECT doc_id,
     {_sql_simhash_votes()}
@@ -1144,8 +1189,10 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 
 @register("dedup_simhash", oracle=_SIMHASH_DEDUP_ORACLE, tags=("dedup", "llm"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, fully oracle-checked: md5-nibble bit
-    source (cross-engine), per-bit majority vote, 2×16-bit LSH bands
+    """SimHash near-dup pairs, fully oracle-checked: exact-duplicate
+    collapse to per-text representatives (the standard exact→near
+    dedup composition), then md5-nibble bits (cross-engine), per-bit
+    majority vote, 2×16-bit LSH bands
     for candidates (wider bands = fewer, cleaner candidates at some
     recall cost — the recall/cost dial of production SimHash dedup; on
     this clustered-vocab corpus 8-bit bands generate ~10M candidate
@@ -1158,8 +1205,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ucl_data_pipeline_spark.sources.io import fan_out
 
+    # Exact-duplicate collapse FIRST (one representative per distinct
+    # text, lowest doc_id): byte-identical copies are the exact-dedup
+    # stage's job, and they are precisely what makes near-dup candidate
+    # buckets quadratic — the 10x scale smoke showed 39x runtime growth
+    # without this collapse because replicated texts multiplied every
+    # band bucket.
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = d.select("doc_id", F.explode(TX.distinct_tokens("text")).alias("tok"))
+    rep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    tok = rep.select("doc_id", F.explode(TX.distinct_tokens("text")).alias("tok"))
     # Materialize the digest nibbles ONCE per token row: aggregate
     # expressions don't share subexpressions, so referencing md5(tok)
     # inside all 32 votes would hash every token 32 times (measured

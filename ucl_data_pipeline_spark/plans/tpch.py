@@ -11,8 +11,12 @@ tests/test_plans.py.
 Scale notes: orders⨝lineitem is the one genuinely large shuffle in
 each query — on a real deployment both facts are bucketed by orderkey
 (co-located join, no exchange) or the join runs under AQE with skew
-splitting; the dimension edges (customer, nation, region, supplier)
-all broadcast.
+splitting. Broadcast policy: only guaranteed-small dims (nation,
+region) carry explicit hints; row-scaling sides (customer, supplier)
+are left to AQE, which broadcasts them at runtime while they fit and
+falls back to shuffle joins when they don't — a hard-coded broadcast
+on a scaling table is exactly what dies first in a 10× scale-up
+(caught by tools/scale_smoke.py).
 """
 
 from __future__ import annotations
@@ -74,7 +78,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(_revenue().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
@@ -118,9 +122,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (s["s_suppkey"] == l["l_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
@@ -165,7 +169,7 @@ def returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(_revenue().alias("revenue"))

@@ -71,6 +71,14 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_MASTER_URL"):
         master = f"local[{_default_parallelism()}]"
+        # Local mode runs every executor thread inside the driver JVM;
+        # the 1g Spark default starves 32 threads + broadcasts. Only a
+        # default — SPARK_GRAFT_DRIVER_MEM overrides; no effect on a
+        # real cluster (spark-submit owns it there).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     if master:
         builder = builder.master(master)
     for k, v in engine_confs(shuffle_partitions).items():
