@@ -1183,7 +1183,7 @@ WITH rep AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
 FROM cand
-WHERE bit_count(xor(sim_a, sim_b)) <= 6
+WHERE bit_count(xor(sim_a, sim_b)) <= 1
 """
 
 
@@ -1196,8 +1196,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for candidates (wider bands = fewer, cleaner candidates at some
     recall cost — the recall/cost dial of production SimHash dedup; on
     this clustered-vocab corpus 8-bit bands generate ~10M candidate
-    combinations, 16-bit ~1.7M), hamming ≤ 6 verification via
-    bit_count(xor).
+    combinations, 16-bit ~1.7M), hamming ≤ 1 verification via
+    bit_count(xor). Threshold note: this synthetic corpus draws from a
+    ~30-word vocabulary, so 32-bit bag-of-words simhashes barely
+    discriminate (tens of thousands of pairs collide outright); the
+    tight threshold keeps the output the truly-nearest band. Real
+    corpora use 64-bit hashes, 4×16 bands, hamming ≤ 3.
 
     Scale: same shuffle shape as MinHash-LSH — band-key equi-join,
     never O(n²); the signature is 8 bytes so the verify join carries
@@ -1274,7 +1278,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (hamming_join <= 6),
+            & (hamming_join <= 1),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
