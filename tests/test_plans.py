@@ -166,6 +166,58 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    # Runtime skew handling: 90% of fact rows land on one join key; with
+    # the skew thresholds scaled to test-sized data, AQE must split the
+    # hot partition (SortMergeJoin(skew=true) in the final plan) while
+    # producing exactly the plain-join result.
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    confs = {
+        # Scaled to test data volume (defaults target 256MB partitions)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # fan_out matters: AQE splits a skewed reduce partition along
+        # MAPPER output boundaries, so a single-split scan (one mapper)
+        # leaves nothing to split.
+        li = fan_out(
+            read_table(spark, "/root/testdata/sf0.01", "lineitem")
+        ).withColumn(
+            "skew_key",
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        dim = read_table(spark, "/root/testdata/sf0.01", "orders").select(
+            F.col("o_orderkey").alias("skew_key"),
+            (F.col("o_orderkey") * 2).alias("payload"),
+        )
+        joined = li.hint("merge").join(dim, "skew_key").select(
+            "skew_key", "l_orderkey", "payload"
+        )
+        rows = joined.collect()  # finalizes THIS DataFrame's adaptive plan
+        assert len(rows) == 60000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # Scale layout: facts partitioned by a date-derived column →
     # downstream scans prune partitions at the source.
