@@ -221,3 +221,35 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY GROUPING SETS ((d, event_type), (h, event_type))
     """)
+
+
+_MAP_FN_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+  list_sort(json_keys(props)) AS keys_sorted,
+  CAST(2 * CAST(json_extract(props, '$.k') AS BIGINT) AS BIGINT) AS k_doubled
+FROM events
+"""
+
+
+@register("map_functions", oracle=_MAP_FN_ORACLE, tags=("events", "scalar", "map"))
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-column surface: JSON properties parsed to
+    ``map<string,bigint>`` once, then element_at / map_keys /
+    transform_values — the typed path for semi-structured event
+    properties (vs re-parsing JSON per field). Map outputs are
+    projected to scalar/array columns so results stay hash-comparable
+    across engines.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )
