@@ -14,6 +14,7 @@ from ucl_data_pipeline_spark.plans import events_windows  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras  # noqa: F401
 from ucl_data_pipeline_spark.plans import temporal  # noqa: F401
 from ucl_data_pipeline_spark.plans import tpch  # noqa: F401
+from ucl_data_pipeline_spark.plans import clustering  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls

@@ -390,3 +390,48 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("retailprice"),
     )
     return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "metric_value")
+
+
+_GLOBAL_QB_ORACLE = """
+WITH cut AS (
+  SELECT
+    ROUND(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+    ROUND(quantile_cont(o_totalprice, 0.50), 2) AS q2,
+    ROUND(quantile_cont(o_totalprice, 0.75), 2) AS q3
+  FROM orders
+)
+SELECT
+  o.o_orderkey,
+  o.o_totalprice,
+  CASE WHEN o.o_totalprice < c.q1 THEN 1
+       WHEN o.o_totalprice < c.q2 THEN 2
+       WHEN o.o_totalprice < c.q3 THEN 3
+       ELSE 4 END AS bucket
+FROM orders o CROSS JOIN cut c
+"""
+
+
+@register("global_quantile_buckets", oracle=_GLOBAL_QB_ORACLE, tags=("agg", "feature"))
+def global_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quantile bucketing without a global sort: exact quartile
+    cutpoints from one aggregate (3 doubles), broadcast back, each row
+    classified by comparison — the scale path the per-group ntile
+    docstring promises (a window over one partition would funnel the
+    whole table through a single task). Cutpoints rounded to 2dp on
+    both engines to absorb interpolation-arithmetic ulps.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cut = o.agg(
+        F.round(F.percentile("o_totalprice", 0.25), 2).alias("q1"),
+        F.round(F.percentile("o_totalprice", 0.50), 2).alias("q2"),
+        F.round(F.percentile("o_totalprice", 0.75), 2).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), 1)
+        .when(F.col("o_totalprice") < F.col("q2"), 2)
+        .when(F.col("o_totalprice") < F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return o.crossJoin(F.broadcast(cut)).select(
+        "o_orderkey", "o_totalprice", bucket.alias("bucket")
+    )
