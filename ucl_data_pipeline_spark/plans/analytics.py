@@ -413,3 +413,45 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") - F.col("mean_price")) / F.col("std_price"), 6
         ).alias("price_z"),
     )
+
+
+_RANK_FNS_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  c_acctbal,
+  CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
+  ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS bal_cume_dist,
+  first_value(c_custkey) OVER w AS richest_in_nation,
+  nth_value(c_custkey, 2) OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS runner_up
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("rank_function_surface", oracle=_RANK_FNS_ORACLE, tags=("window",))
+def rank_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/distribution window functions in one
+    shuffle: dense_rank, percent_rank, cume_dist (6dp-rounded — ratio
+    arithmetic), first_value, and nth_value with an explicit
+    full-partition frame. Deterministic via the unique-key tiebreak.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("richest_in_nation"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
+    )
