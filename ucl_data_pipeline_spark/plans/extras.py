@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register, sql_davg, sql_dsum
+from ucl_data_pipeline_spark.plans.registry import davg, register, sql_davg, sql_dsum
 from ucl_data_pipeline_spark.sources.io import read_table
 
 _PERCENTILE_ORACLE = """
@@ -434,4 +434,93 @@ def global_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.crossJoin(F.broadcast(cut)).select(
         "o_orderkey", "o_totalprice", bucket.alias("bucket")
+    )
+
+
+_DQ_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+  COUNT(*) - COUNT(o_custkey) AS null_custkeys,
+  COUNT(*) - COUNT(o_totalprice) AS null_prices,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  {sql_davg('o_totalprice')} AS mean_price,
+  MIN(o_orderdate) AS min_date,
+  MAX(o_orderdate) AS max_date,
+  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_prices
+FROM orders
+"""
+
+
+@register("data_quality_profile", oracle=_DQ_ORACLE, tags=("validate", "agg"))
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile (row/key counts, null counts,
+    ranges, violation counts) — the expectation-check aggregate every
+    pipeline stage gates on (V1/V2 generalized from warn-only prints to
+    a queryable contract). One scan, partial-aggregated; at 100 TB this
+    is the cheap pre-flight before expensive stages.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkeys"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_prices"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("mean_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_prices"),
+    )
+
+
+_UPSERT_ORACLE = """
+WITH v1 AS (
+  SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer
+),
+v2 AS (
+  SELECT c_custkey, c_name, ROUND(c_acctbal * 1.1, 2) AS c_acctbal, 2 AS version
+  FROM customer WHERE c_custkey % 3 = 0
+),
+unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT c_custkey, c_name, c_acctbal, version FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_custkey ORDER BY version DESC
+  ) AS rn FROM unioned
+) WHERE rn = 1
+"""
+
+
+@register("snapshot_upsert_latest", oracle=_UPSERT_ORACLE, tags=("pipeline", "window"))
+def snapshot_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/merge without a table format: union the base snapshot
+    with a (deterministically derived) delta carrying a higher version,
+    keep the latest row per key via a ranking window — the
+    keep-latest-wins merge every incremental pipeline needs. At scale
+    this is one shuffle on the key; with Delta/Iceberg it becomes MERGE
+    INTO, but the logical semantics are exactly this window.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"))
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+            F.lit(2).alias("version"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    return (
+        v1.unionByName(v2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_acctbal", "version")
     )
