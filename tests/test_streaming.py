@@ -32,9 +32,12 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     # streaming file source needs a directory; testdata is read-only
     # single-file NANOS parquet).
     d = tmp_path_factory.mktemp("events_stream")
-    read_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(
-        str(d / "data")
-    )
+    # repartition (not coalesce — which can collapse to one file at
+    # this size) guarantees TWO parquet files, so maxFilesPerTrigger=1
+    # genuinely produces two micro-batches in the stateful tests.
+    read_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(d / "data"))
     return str(d / "data")
 
 
@@ -94,6 +97,41 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path
         n, s = finals[r.user_id]
         assert n == r.n
         assert abs(s - r.s) < 1e-6
+
+
+def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, events_dir, tmp_path):
+    # The production sink pattern: foreachBatch gives each micro-batch
+    # to ordinary batch code (partitioned parquet append here; MERGE
+    # INTO / JDBC upserts in real deployments). All events must land
+    # exactly once in the partitioned layout.
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+    q = (
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = read_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert got.select("batch_id").distinct().count() == 2  # two micro-batches
+    # partition pruning works on the sink layout
+    one_type = got.filter(F.col("event_type") == "click")
+    plan = one_type._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
 
 
 def test_dedup_within_watermark_keeps_one_per_key(
