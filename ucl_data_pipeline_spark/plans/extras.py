@@ -524,3 +524,30 @@ def snapshot_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", "c_name", "c_acctbal", "version")
     )
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+"""
+
+
+@register("stratified_sample", oracle=_STRAT_SAMPLE_ORACLE, tags=("sample", "llm"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language sampling rates
+    (en 50%, de 20%, rest 10%) applied via the multiplicative key hash
+    — how training mixtures are rebalanced reproducibly (downsample
+    over-represented languages, keep membership a pure function of the
+    key). Unlike ``sampleBy``, re-runs and engines agree row-for-row.
+    Pure scan-side filter: no shuffle, prunes to three columns.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 20)
+        .otherwise(10)
+    )
+    return d.filter(h < rate).select("doc_id", "lang", "source")
