@@ -218,6 +218,42 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    # Runtime row-level filtering: a selective filter on one join side
+    # injects a bloom filter onto the probe side's scan, so most fact
+    # rows die before the shuffle (thresholds scaled to test data;
+    # broadcast disabled so the shuffle join path is exercised).
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1024",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
+        o = read_table(spark, "/root/testdata/sf0.01", "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        # and the result matches the un-bloomed join
+        n_keys = o.count()
+        assert j.select("o_orderkey").distinct().count() == n_keys
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # Scale layout: facts partitioned by a date-derived column →
     # downstream scans prune partitions at the source.
