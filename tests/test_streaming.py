@@ -99,6 +99,21 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path
         assert abs(s - r.s) < 1e-6
 
 
+def test_csv_stream_source_equals_batch(spark, sf_dir, tmp_path):
+    # CSV landing directory as the stream source: same windowed result
+    # as the batch query over the parquet original.
+    csv_dir = str(tmp_path / "csv_events")
+    read_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_dir)
+    stream = tumbling_window_stream(
+        read_events_stream(spark, csv_dir, fmt="csv")
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    want = tumbling_window_agg(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
 def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, events_dir, tmp_path):
     # The production sink pattern: foreachBatch gives each micro-batch
     # to ordinary batch code (partitioned parquet append here; MERGE

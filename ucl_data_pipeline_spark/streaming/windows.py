@@ -37,15 +37,19 @@ EVENTS_MICROS_SCHEMA = T.StructType([
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """File-source stream of events (micro-batched parquet directory).
-    At scale the same pipeline binds to Kafka by swapping this reader.
+    """File-source stream of events (micro-batched directory of
+    ``parquet`` or ``csv`` files — the two common landing formats; CSV
+    needs the explicit schema since the format carries no types). At
+    scale the same pipeline binds to Kafka by swapping this reader.
     """
-    reader = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
-        .format("parquet")
-    )
+    reader = spark.readStream.schema(EVENTS_MICROS_SCHEMA).format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
