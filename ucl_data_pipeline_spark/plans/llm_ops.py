@@ -1287,3 +1287,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_TEXT_CLEAN_ORACLE = r"""
+SELECT
+  doc_id,
+  regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g') AS clean_text,
+  CAST(length(text) - length(
+    regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')
+  ) AS INTEGER) AS n_chars_removed
+FROM documents
+"""
+
+
+@register("text_clean", oracle=_TEXT_CLEAN_ORACLE, tags=("text", "llm"))
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text-cleaning stage: lowercase, trim, strip
+    non-alphanumerics, collapse whitespace — plus a removed-volume
+    audit column (cleaning that silently deletes most of a document is
+    a quality signal in itself). Pure codegen'd regexp_replace chain.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim("text")), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length("text") - F.length(clean)).cast("int").alias("n_chars_removed"),
+    )
+
+
+_PII_ORACLE = r"""
+WITH seeded AS (
+  SELECT
+    doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      AS raw_text
+  FROM documents
+)
+SELECT
+  doc_id,
+  regexp_replace(
+    regexp_replace(raw_text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+    '\+?[0-9]+(-[0-9]+)+', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(raw_text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+'))
+    AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(raw_text, '\+?[0-9]+(-[0-9]+)+'))
+    AS INTEGER) AS n_phones
+FROM seeded
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE, tags=("text", "llm"))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex detection and masking of email/phone
+    patterns plus per-document detection counts (the audit trail a
+    redaction stage must emit). The corpus contains no natural PII, so
+    deterministic synthetic contacts are appended first; the operator
+    must mask exactly those. Regexes restricted to syntax Java regex
+    and RE2 share. At scale this runs as a scan-side projection —
+    no shuffle, no Python.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+    phone_re = r"\+?[0-9]+(-[0-9]+)+"
+    seeded = d.select("doc_id", raw.alias("raw_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw_text", email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(email_re), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(phone_re), F.lit(0)))
+        .alias("n_phones"),
+    )
