@@ -298,3 +298,77 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_revenue().alias("revenue"))
     )
+
+
+_Q8_ORACLE = """
+WITH base AS (
+  SELECT
+    CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS volume,
+    n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT
+  o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM base
+GROUP BY o_year
+"""
+
+
+@register("nation_market_share", oracle=_Q8_ORACLE, tags=("tpch", "join", "agg"))
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's purchase volume by
+    year — a conditional aggregate (numerator) over the same pass as
+    the total (denominator); exact-decimal sums make the final division
+    bit-identical across engines. Same one-fact-shuffle skeleton as
+    Q5/Q7.
+    """
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    base = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r["r_regionkey"])
+        .join(s, s["s_suppkey"] == l["l_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
