@@ -253,3 +253,94 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(m)).alias("keys_sorted"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH steps AS (
+  SELECT
+    user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  CAST(t_view IS NOT NULL AS INTEGER) AS did_view,
+  CAST(t_view IS NOT NULL AND t_click > t_view AS INTEGER) AS did_click_after_view,
+  CAST(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+       AS INTEGER) AS did_full_funnel
+FROM steps
+"""
+
+
+@register("funnel_analysis", oracle=_FUNNEL_ORACLE, tags=("events", "agg"))
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: first
+    occurrence of each step via conditional MIN in ONE aggregation
+    pass, then ordering predicates — never a per-step self-join (the
+    N-step funnel as N fact scans is the classic analytics
+    anti-pattern; this is one scan, one shuffle).
+    """
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.select(
+        "user_id",
+        viewed.cast("int").alias("did_view"),
+        clicked.cast("int").alias("did_click_after_view"),
+        purchased.cast("int").alias("did_full_funnel"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS active_day
+  FROM events e
+)
+SELECT
+  f.cohort_day,
+  CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+  COUNT(DISTINCT a.user_id) AS n_active_users
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.active_day)
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("events", "agg", "temporal"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day-offset from that cohort day. The cohort table is
+    per-user (small) → broadcast back onto the distinct-activity set;
+    two aggregations, both map-side combinable.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
