@@ -344,3 +344,54 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+_ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT
+    event_id, user_id, event_type, ts, value,
+    COUNT(value) OVER w AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w
+      AS DOUBLE) AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT
+  event_id, user_id, event_type, ts, value,
+  CASE WHEN n >= 3 AND sxx - sx * sx / n > 0
+       THEN ROUND((value - sx / n)
+                  / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+       END AS trailing_z
+FROM stats
+"""
+
+
+@register("rolling_anomaly_score", oracle=_ANOMALY_ORACLE, tags=("events", "window", "temporal"))
+def rolling_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each reading z-scored against the
+    PRECEDING 10 readings of the same (user, type) — strictly past rows
+    only, so the operator is causally valid (the batch twin of a
+    streaming outlier detector). Exact-decimal rolling sums keep both
+    engines bit-identical; insufficient history (<3) → NULL.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    vd = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(w)
+    sx = F.sum(vd).over(w).cast("double")
+    sxx = F.sum(vd * vd).over(w).cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    z = F.when(
+        (n >= 3) & (sxx - sx * sx / n > 0),
+        F.round((F.col("value") - sx / n) / F.sqrt(var), 6),
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        z.alias("trailing_z"),
+    )
