@@ -1378,3 +1378,58 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("raw_text", F.lit(phone_re), F.lit(0)))
         .alias("n_phones"),
     )
+
+
+_TFIDF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term,
+    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rn FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "llm", "agg"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. Term and
+    document frequencies are two aggregations over one exploded token
+    stream; the df side arrives at the tf⋈df join already hashed on
+    term from its groupBy. The document-frequency side grows with
+    corpus vocabulary (Heaps' law), so no broadcast hint — AQE
+    decides at runtime.
+    ln() is transcendental → 6dp rounding per the registry convention.
+    """
+    ev = read_table(spark, sf_dir, "documents")
+    tok = ev.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = ev.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
