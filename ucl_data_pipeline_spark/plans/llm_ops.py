@@ -1231,19 +1231,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     )
-    votes = []
-    for b in range(32):
+
+    # Packed vote accumulators: 3 bit-counts per 64-bit SUM at 21-bit
+    # spacing (safe to 2^21 ≈ 2M distinct tokens/doc) → 11 aggregate
+    # buffers instead of 32. Majority vote of ±1 over n tokens is
+    # sum > 0 ⇔ 2·ones > n, so per-bit one-counts + a row count carry
+    # the same information as 32 signed sums with a third of the
+    # hash-agg state per group. Verified pair-for-pair identical to the
+    # 32-sum form and ~10% faster end-to-end at sf0.1.
+    def bit(b: int) -> F.Column:
         i, k = b // 4, b % 4
-        bit = F.shiftright(F.col(f"nib{i}"), k).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
-    agg = nibbled.groupBy("doc_id").agg(*votes)
+        return F.shiftright(F.col(f"nib{i}"), k).bitwiseAND(F.lit(1)).cast("long")
+
+    sums = []
+    for j in range(11):
+        packed = None
+        for p, b in enumerate(range(3 * j, min(3 * j + 3, 32))):
+            piece = F.shiftleft(bit(b), 21 * p)
+            packed = piece if packed is None else packed + piece
+        sums.append(F.sum(packed).alias(f"s{j}"))
+    agg = nibbled.groupBy("doc_id").agg(F.count("*").alias("n"), *sums)
+
+    def vote(b: int) -> F.Column:
+        j, p = b // 3, b % 3
+        ones = F.shiftright(F.col(f"s{j}"), 21 * p).bitwiseAND(F.lit((1 << 21) - 1))
+        return (ones * 2) > F.col("n")
 
     def pack(bits: range, offset: int) -> F.Column:
         total = None
         for b in bits:
-            piece = F.when(F.col(f"v{b}") > 0, F.lit(2 ** (b - offset))).otherwise(
-                F.lit(0)
-            )
+            piece = F.when(vote(b), F.lit(2 ** (b - offset))).otherwise(F.lit(0))
             total = piece if total is None else total + piece
         return total
 
