@@ -1,5 +1,6 @@
 """Iterative clustering over the embeddings table: distributed k-means
-as a driver-coordinated Spark loop.
+as a driver-coordinated Spark loop, with deterministic k-means||
+(scalable k-means++) initialization.
 
 SQL can't express the fixed-point iteration (the oracle harness
 records a rows-only check; pytest asserts determinism, inertia
@@ -7,18 +8,33 @@ monotonicity and cluster integrity instead), but every step inside an
 iteration is declarative DataFrame algebra, so the loop scales the way
 MLlib's own implementation does:
 
-- centroids live on the driver/broadcast (k×dim doubles — tiny),
-- assignment is a broadcast comparison, no shuffle of the points,
-- the update is one partial+final aggregation keyed by cluster id.
+- centers live on the driver and enter the plan as LITERAL arrays
+  (k x dim doubles — tiny), so assignment is a NARROW projection:
+  ``array_min(transform(centers, c -> sq_dist(x, c)))`` — no
+  crossJoin, no per-point shuffle, no window;
+- the update is one partial+final aggregation keyed by
+  (cluster, dimension) — n*dim rows combine map-side down to k*dim;
+- each Lloyd iteration is exactly ONE Spark job (collect the k*dim
+  new centroid values), not a checkpoint cascade.
 
-Determinism: Forgy init from the k lowest vec_ids, ties in the argmin
-broken by cluster id, exact-decimal centroid means — identical results
-every run at every partitioning.
+Initialization is k-means|| (Bahmani et al., VLDB 2012) made
+deterministic: per-round oversampling keeps point x iff
+``u(x, round) < L * d2(x) / total``, where u is a hash-derived uniform
+(xxhash64 — no RNG state), d2 the squared distance to the nearest
+current center, and total an EXACT decimal sum (double-sum order
+jitter could flip a boundary point between runs). The candidate set
+(~L per round) is weighted by cluster population and reduced to K on
+the driver with a greedy farthest-point pass — no randomness anywhere,
+so results are bit-identical across runs and partitionings.
+
+Determinism: hash-thresholded sampling, exact-decimal totals and
+centroid means, argmin ties broken toward the lowest cluster id
+(array_position returns the FIRST index attaining the min).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions import vector as VX
@@ -27,51 +43,116 @@ from ucl_data_pipeline_spark.sources.io import read_table
 
 K = 8
 ITERATIONS = 5
+INIT_ROUNDS = 2
+OVERSAMPLE = 2 * K  # the "l" of k-means||
 
 
-def _sq_dist(a: str, b: str) -> F.Column:
+def _sq_dist(a: str, b: str) -> Column:
     diffs = F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _centers_lit(centers: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+    )
+
+
+def _dists(centers: list[list[float]]) -> Column:
+    """array of squared distances from `embedding` to each center."""
+    return F.transform(
+        _centers_lit(centers),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("embedding"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _exact_total(df: DataFrame, col: str) -> float:
+    """Order-independent sum of a double column (decimal accumulate)."""
+    row = df.agg(
+        F.sum(F.col(col).cast("decimal(28,12)")).cast("double").alias("t")
+    ).collect()[0]
+    return float(row.t or 0.0)
+
+
+def _kmeans_parallel_init(pts: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means|| seeding. `pts` has (vec_id, embedding)."""
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[list[float]] = [list(seed.embedding)]
+    for r in range(INIT_ROUNDS):
+        d2 = pts.select(
+            "vec_id", "embedding", F.array_min(_dists(centers)).alias("d2")
+        )
+        total = _exact_total(d2, "d2")
+        if total <= 0.0:  # all points coincide with a center
+            break
+        u = (
+            F.pmod(F.xxhash64("vec_id", F.lit(r)), F.lit(1_000_000)) + 0.5
+        ) / 1_000_000.0
+        cand = (
+            d2.filter(u * F.lit(total) < F.lit(float(OVERSAMPLE)) * F.col("d2"))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centers.extend(list(c.embedding) for c in sorted(cand, key=lambda c: c.vec_id))
+    # Weight candidates by how many points they own, then reduce to k on
+    # the driver (candidate set is ~INIT_ROUNDS * OVERSAMPLE rows).
+    idx = F.array_position(
+        (d := _dists(centers)), F.array_min(d)
+    ).alias("center_idx")
+    weights = {
+        row.center_idx: row.w
+        for row in pts.select(idx).groupBy("center_idx").agg(F.count("*").alias("w")).collect()
+    }
+    chosen = [0]  # the seed stays
+    while len(chosen) < k and len(chosen) < len(centers):
+
+        def gain(i: int) -> tuple[float, int]:
+            d_min = min(
+                sum((a - b) * (a - b) for a, b in zip(centers[i], centers[j]))
+                for j in chosen
+            )
+            # negative index as the tie-break so ties pick the LOWEST i
+            return (weights.get(i + 1, 0) * d_min, -i)
+
+        best = max((i for i in range(len(centers)) if i not in chosen), key=gain)
+        chosen.append(best)
+    picked = [centers[i] for i in chosen]
+    if len(picked) < k:  # degenerate corpus: pad with first distinct points
+        pad = pts.orderBy("vec_id").limit(k).collect()
+        for row in pad:
+            if len(picked) >= k:
+                break
+            emb = list(row.embedding)
+            if emb not in picked:
+                picked.append(emb)
+    return picked
+
+
 @register("kmeans_clusters", oracle=None, tags=("vector", "llm", "iterative"))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=8, 5 iterations) over embeddings; returns
-    (vec_id, cluster_id, sq_dist rounded to 6dp). See module docstring
-    for the scale shape; no SQL oracle (iterative), driver records
-    rows-only and tests/test_clustering.py asserts the semantics.
+    """K-means (k=8, k-means|| init, 5 Lloyd iterations) over the
+    embeddings table; returns (vec_id, cluster_id, sq_dist rounded to
+    6dp). See module docstring for the scale shape; no SQL oracle
+    (iterative), the driver records rows-only and
+    tests/test_clustering.py asserts the semantics.
     """
-    e = read_table(spark, sf_dir, "embeddings").select(
+    pts = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double("embedding").alias("embedding")
     )
-    centroids = (
-        e.orderBy("vec_id")
-        .limit(K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cluster_id"),
-            F.col("embedding").alias("centroid"),
-        )
-        .withColumn("cluster_id", F.col("cluster_id") - 1)
-        .localCheckpoint()
-    )
-    assigned = None
+    centers = _kmeans_parallel_init(pts, K)
     for _ in range(ITERATIONS):
-        scored = e.crossJoin(F.broadcast(centroids)).select(
+        d = _dists(centers)
+        assigned = pts.select(
             "vec_id",
             "embedding",
-            "cluster_id",
-            _sq_dist("embedding", "centroid").alias("sq_dist"),
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster_id"),
         )
-        best = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("sq_dist", "cluster_id")
-        )
-        assigned = (
-            scored.withColumn("rn", best).filter(F.col("rn") == 1).drop("rn")
-        )
-        centroids = (
-            assigned.select(
-                "cluster_id", F.posexplode("embedding").alias("pos", "val")
-            )
+        rows = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg(
                 (
@@ -79,15 +160,18 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count("*")
                 ).alias("cval")
             )
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s["cval"],
-                ).alias("centroid")
-            )
-            .localCheckpoint()
+            .collect()
         )
-    return assigned.select(
-        "vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
+        new_centers = [list(c) for c in centers]  # empty cluster keeps its center
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in rows:
+            by_cluster.setdefault(row.cluster_id, {})[row.pos] = row.cval
+        for cid, dims in by_cluster.items():
+            new_centers[cid] = [dims[p] for p in sorted(dims)]
+        centers = new_centers
+    d = _dists(centers)
+    return pts.select(
+        "vec_id",
+        (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster_id"),
+        F.round(F.array_min(d), 6).alias("sq_dist"),
     )
