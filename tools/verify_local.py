@@ -7,7 +7,14 @@ and with tolerance so we can tell "bitwise mismatch only" from "wrong
 values").
 
 Usage:
-    python tools/verify_local.py [--sf-dir /root/testdata/sf0.01] [query ...]
+    python tools/verify_local.py [--sf-dir /root/testdata/sf0.01]
+                                 [--ansi] [query ...]
+
+--ansi runs the queries under spark.sql.ansi.enabled=true — the
+verification driver's real session semantics (Spark 4 default; it never
+loads session.py's confs). Every query must pass BOTH modes: the engine
+is ANSI-neutral by construction (try_* for every coercion that can see
+malformed input).
 """
 
 from __future__ import annotations
@@ -54,10 +61,17 @@ def _multiset(rows, colnames, exact: bool) -> Counter:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--ansi",
+        action="store_true",
+        help="run under spark.sql.ansi.enabled=true (the driver's semantics)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     spark = get_spark("verify-local")
+    if args.ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(

@@ -42,23 +42,27 @@ def fractional_to_decimal_odds(c: ColumnOrName) -> Column:
     """F4: ``"5/2"`` → 3.5; numeric strings pass through; garbage → NULL.
 
     Reference: ``fractional_to_decimal`` (scripts/utils.py:10-17).
-    Division by a 0 denominator yields NULL (Spark non-ANSI), matching
-    the reference's except→NaN.
+    Uses ``try_cast`` throughout so garbage ('evens') → NULL under ANY
+    session ANSI setting — the verification driver runs ANSI-on (Spark 4
+    default) and plain ``cast`` would raise CAST_INVALID_INPUT there.
+    Division by a 0 denominator yields NULL via ``nullif``, matching the
+    reference's except→NaN.
     """
     c = _col(c).cast("string")
-    num = F.split(c, "/").getItem(0).cast("double")
-    den = F.split(c, "/").getItem(1).cast("double")
+    num = F.split(c, "/").getItem(0).try_cast("double")
+    den = F.split(c, "/").getItem(1).try_cast("double")
     frac = F.lit(1.0) + num / F.nullif(den, F.lit(0.0))
-    return F.when(c.contains("/"), frac).otherwise(c.cast("double"))
+    return F.when(c.contains("/"), frac).otherwise(c.try_cast("double"))
 
 
 def try_double(c: ColumnOrName) -> Column:
     """F7: pandas ``to_numeric(errors="coerce")`` — invalid → NULL.
 
-    Reference: scripts/fetch_fbr_team_xg.py:110-111. Requires ANSI off
-    (session.py) or try_cast semantics.
+    Reference: scripts/fetch_fbr_team_xg.py:110-111. ``try_cast`` gives
+    coerce-to-NULL semantics regardless of the session's ANSI config
+    (the engine must not assume it owns the SparkSession's confs).
     """
-    return _col(c).cast("double")
+    return _col(c).try_cast("double")
 
 
 def clamp(c: ColumnOrName, lo: float, hi: float) -> Column:
@@ -130,6 +134,35 @@ def to_naive_timestamp(c: ColumnOrName) -> Column:
     naive timestamp equals the UTC instant.
     """
     return F.to_timestamp(_col(c))
+
+
+def knuth_bucket(key: ColumnOrName, m: int) -> Column:
+    """Deterministic sampling bucket: ``(key · 2654435761 mod 2³²) mod m``,
+    overflow-safe over the FULL 64-bit key domain.
+
+    A naive ``key * 2654435761`` wraps (non-ANSI) or raises (ANSI) in
+    BIGINT for keys above ~3.47e9 — reachable at 100 TB scale — while
+    DuckDB promotes to INT128, silently breaking cross-engine
+    membership. Split multiply instead: with k = key mod 2³² =
+    k_hi·2¹⁶ + k_lo,
+
+        (k·C) mod 2³² = ((k_hi·C mod 2³²)·2¹⁶ + k_lo·C) mod 2³²
+
+    and every intermediate stays below 2⁴⁹, so BIGINT arithmetic is
+    exact on both engines for every key. (Mathematically identical to
+    the infinite-precision product: mod distributes over ·.)
+    Mirror: ``sql_knuth_bucket`` in plans/registry.py.
+    """
+    c_knuth, m32 = 2654435761, 4294967296
+    k = F.pmod(_col(key), F.lit(m32))
+    k_hi = F.shiftright(k, 16)
+    k_lo = k.bitwiseAND(F.lit(65535))
+    h = F.pmod(
+        F.pmod(k_hi * F.lit(c_knuth), F.lit(m32)) * F.lit(65536)
+        + k_lo * F.lit(c_knuth),
+        F.lit(m32),
+    )
+    return F.pmod(h, F.lit(m))
 
 
 def coalesce_candidates(df_columns: list[str], candidates: list[str]) -> Column:

@@ -88,12 +88,18 @@ def normalize_names(
     scripts/enrich_features.py:37-43 — a per-element dict lookup there,
     a broadcast join + coalesce here; the same map must hit BOTH fact
     and dim sides before any enrichment join, :156-158,190-194).
+
+    The map is deduplicated on the raw key first (min canonical,
+    deterministic): a dict lookup can never change fact cardinality, so
+    neither may this join, even if the map file carries duplicate rows.
     """
     m = F.broadcast(
         name_map.select(
             F.trim(F.col(raw_col)).alias("__nm_raw"),
             F.trim(F.col(canonical_col)).alias("__nm_canon"),
         )
+        .groupBy("__nm_raw")
+        .agg(F.min("__nm_canon").alias("__nm_canon"))
     )
     out = df
     for c in cols:

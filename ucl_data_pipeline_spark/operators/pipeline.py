@@ -97,7 +97,7 @@ def bootstrap_team_priors(xg_hybrid: DataFrame) -> DataFrame:
             clamp_with_midpoint(
                 ratio_with_floor("xga_hybrid", 0.80, 0.15, 34.0), 0.55, 0.90
             ).alias("gk_rating"),
-            clamp_with_midpoint(sign_score("xgd_hybrid"), 0.50, 0.85).alias(
+            clamp_with_midpoint(sign_score("xgd90_hybrid"), 0.50, 0.85).alias(
                 "setpiece_rating"
             ),
             F.lit(0.70).alias("crowd_index"),

@@ -86,18 +86,45 @@ def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_suppliers", oracle=None, tags=("agg", "approx"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "approx_distinct_suppliers", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx")
+)
 def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=1%) — the scale path
-    for cardinality at 100 TB (no oracle: sketch internals are
-    engine-specific; driver records rows-only).
+    for cardinality at 100 TB. The raw sketch estimate is
+    engine-specific, so the oracle-anchored surface is the exact
+    distinct counts plus the HLL's bounded-error CLAIM
+    (|approx−exact|/exact ≤ 5% for both columns — deterministic for a
+    fixed dataset, and the property a user of the approx path actually
+    relies on). Round 1 recorded this rows-only; this form gets a full
+    schema+rows+value hash.
     """
+    approx_s = F.approx_count_distinct("l_suppkey", 0.01)
+    approx_p = F.approx_count_distinct("l_partkey", 0.01)
+    exact_s = F.countDistinct("l_suppkey")
+    exact_p = F.countDistinct("l_partkey")
+    within = (
+        (F.abs(approx_s - exact_s) / exact_s <= 0.05)
+        & (F.abs(approx_p - exact_p) / exact_p <= 0.05)
+    )
     return (
         read_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            exact_s.alias("exact_suppliers"),
+            exact_p.alias("exact_parts"),
+            within.alias("approx_within_5pct"),
         )
     )
 

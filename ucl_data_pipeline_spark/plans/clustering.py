@@ -140,8 +140,17 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative), the driver records rows-only and
     tests/test_clustering.py asserts the semantics.
     """
-    pts = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VX.as_double("embedding").alias("embedding")
+    pts = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", VX.as_double("embedding").alias("embedding"))
+        # Persist across init + Lloyd iterations: every round re-reads
+        # the full point set (~9 passes total), so without this each
+        # pass re-scans parquet and re-runs the double conversion —
+        # measured 6.0 s at sf0.1 (slowest query in BENCH_r01); at
+        # 100 TB an uncached iterative re-scan is the dominant cost.
+        # MEMORY_AND_DISK: a partition that doesn't fit in executor
+        # memory spills instead of being recomputed from parquet.
+        .persist()
     )
     centers = _kmeans_parallel_init(pts, K)
     for _ in range(ITERATIONS):

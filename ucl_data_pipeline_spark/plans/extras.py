@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import davg, register, sql_davg, sql_dsum
+from ucl_data_pipeline_spark.functions.scalar import knuth_bucket
+from ucl_data_pipeline_spark.plans.registry import (
+    davg,
+    register,
+    sql_davg,
+    sql_dsum,
+    sql_knuth_bucket,
+)
 from ucl_data_pipeline_spark.sources.io import read_table
 
 _PERCENTILE_ORACLE = """
@@ -207,26 +214,29 @@ FROM part
 """
 
 
-_SAMPLE_ORACLE = """
+_SAMPLE_ORACLE = f"""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE ((o_orderkey * 2654435761) % 4294967296) % 20 = 0
+WHERE {sql_knuth_bucket('o_orderkey', 20)} = 0
 """
 
 
 @register("deterministic_sample", oracle=_SAMPLE_ORACLE, tags=("sample",))
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible ~5% sample via a multiplicative key hash (Knuth
-    constant, mod 2^32) — the pattern for stable train/eval splits:
-    membership is a pure function of the key, so re-runs, backfills,
-    and different engines agree row-for-row. ``df.sample()`` is
-    partition-layout-dependent and ``F.xxhash64`` engine-specific;
-    neither can be cross-checked. Scale: embarrassingly parallel
-    filter, pushed to the scan, no shuffle.
+    constant, mod 2^32, width-safe split multiply — see
+    functions.scalar.knuth_bucket) — the pattern for stable train/eval
+    splits: membership is a pure function of the key, so re-runs,
+    backfills, and different engines agree row-for-row for every
+    64-bit key. ``df.sample()`` is partition-layout-dependent and
+    ``F.xxhash64`` engine-specific; neither can be cross-checked.
+    Scale: embarrassingly parallel filter, pushed to the scan, no
+    shuffle.
     """
     o = read_table(spark, sf_dir, "orders")
-    h = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296))
-    return o.filter(h % 20 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.filter(knuth_bucket("o_orderkey", 20) == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
 
 
 _COLLECT_ORACLE = """
@@ -526,10 +536,10 @@ def snapshot_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STRAT_SAMPLE_ORACLE = """
+_STRAT_SAMPLE_ORACLE = f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+WHERE {sql_knuth_bucket('doc_id', 100)} <
   CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
 """
 
@@ -544,7 +554,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure scan-side filter: no shuffle, prunes to three columns.
     """
     d = read_table(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)) % 100
+    h = knuth_bucket("doc_id", 100)
     rate = (
         F.when(F.col("lang") == "en", 50)
         .when(F.col("lang") == "de", 20)

@@ -283,25 +283,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shingle document-frequency cap for the inverted-index self-join: a
+# single boilerplate trigram shared by 1M docs would otherwise generate
+# ~5·10^11 candidate pairs. Shingles this common carry no near-dup
+# signal (classic stop-shingle removal); Jaccard is computed over the
+# informative (df ≤ cap) shingle sets on both engines. At sf0.01 the
+# corpus max df is 7, so the cap is inert locally — it exists for the
+# 100 TB shape.
+_JACCARD_MAX_DF = 50
+
 _JACCARD_PAIRS_ORACLE = rf"""
-WITH tok AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
 ), feat AS (
   SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
 ), ex AS (
   SELECT doc_id, unnest(feats) AS f FROM feat
+), ex_inf AS (
+  SELECT doc_id, f FROM ex
+  QUALIFY COUNT(*) OVER (PARTITION BY f) <= {_JACCARD_MAX_DF}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex_inf GROUP BY doc_id
 ), shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  FROM ex_inf a JOIN ex_inf b ON a.f = b.f AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT
   s.doc_a, s.doc_b,
   CAST(s.n_shared AS DOUBLE)
-    / CAST(len(fa.feats) + len(fb.feats) - s.n_shared AS DOUBLE) AS jaccard
+    / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) AS jaccard
 FROM shared s
-JOIN feat fa ON s.doc_a = fa.doc_id
-JOIN feat fb ON s.doc_b = fb.doc_id
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
 WHERE s.n_shared >= 5
 """
 
@@ -309,15 +325,28 @@ WHERE s.n_shared >= 5
 @register("jaccard_shingle_pairs", oracle=_JACCARD_PAIRS_ORACLE, tags=("dedup", "llm"))
 def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive n-gram-Jaccard similar-pair mining via inverted
-    index: explode shingles, equi-self-join on the shingle, count
+    index over exact-duplicate-collapsed representatives: explode
+    shingles, drop stop-shingles (document frequency > cap — the
+    all-pairs blowup guard), equi-self-join on the shingle, count
     shared per pair (one shuffle keyed by shingle — candidate
     generation is proportional to real overlap, not n²), then exact
-    Jaccard from set sizes. Ground truth for LSH recall.
+    Jaccard over the informative shingle sets. Ground truth for LSH
+    recall.
     """
-    feats = _doc_features(spark, sf_dir).persist()
-    ex = feats.select("doc_id", F.explode("feats").alias("f"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    feats = _rep_features(spark, sf_dir)
+    ex = feats.select("doc_id", F.explode("feats").alias("f")).persist()
+    # df-cap via groupBy-on-f + join-on-f: both stages key by the
+    # shingle, so AQE reuses one shuffle partitioning for both.
+    informative = (
+        ex.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _JACCARD_MAX_DF)
+        .select("f")
+    )
+    ex_inf = ex.join(informative, "f").persist()
+    sizes = ex_inf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex_inf.alias("a")
+    b = ex_inf.alias("b")
     shared = (
         a.join(
             b,
@@ -330,11 +359,11 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
-    fa = feats.select(F.col("doc_id").alias("doc_a"), F.size("feats").alias("na"))
-    fb = feats.select(F.col("doc_id").alias("doc_b"), F.size("feats").alias("nb"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        shared.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -346,30 +375,9 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_signatures", oracle=None, tags=("dedup", "llm"))
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: per-bit majority vote over
-    xxhash64(token) bits (engine-native hash → no SQL oracle; driver
-    records rows-only; pytest checks near-dup hamming behavior).
-    Explode+groupBy shape: one shuffle keyed by doc_id.
-    """
-    d = read_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(TX.distinct_tokens("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(32)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    sim = None
-    for b in range(32):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+# simhash_signatures is registered further down, next to dedup_simhash:
+# both share the md5-nibble bit source (oracle-expressible) and its
+# packed-vote aggregation helper.
 
 
 # ---------------------------------------------------------------------------
@@ -1158,6 +1166,98 @@ def _sql_pack(bits: range, var: str = "v") -> str:
     )
 
 
+def _simhash_md5_sig(docs: DataFrame, n_bands: int = 0) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash[, band_0..band_{n_bands-1}]).
+
+    32-bit SimHash from md5-nibble token bits (cross-engine: DuckDB
+    computes the identical signature, see _sql_simhash_votes). One
+    explode + one hash-agg keyed by doc_id — a single shuffle whose
+    state is 11 packed vote sums + a count per group (3 bit-counts per
+    64-bit SUM at 21-bit spacing; majority of ±1 votes over n tokens is
+    2·ones > n). Safe to 2^21 distinct tokens per doc.
+    """
+    tok = docs.select("doc_id", F.explode(TX.distinct_tokens("text")).alias("tok"))
+    # Materialize the digest nibbles ONCE per token row: aggregate
+    # expressions don't share subexpressions, so referencing md5(tok)
+    # inside all 32 votes would hash every token 32 times (measured
+    # ~7x slower).
+    hexes = F.lit(_HEXES)
+    md5c = F.md5("tok")
+    nibbled = tok.select(
+        "doc_id",
+        *[
+            (F.instr(hexes, F.substring(md5c, i + 1, 1)) - 1).alias(f"nib{i}")
+            for i in range(8)
+        ],
+    )
+
+    def bit(b: int) -> F.Column:
+        i, k = b // 4, b % 4
+        return F.shiftright(F.col(f"nib{i}"), k).bitwiseAND(F.lit(1)).cast("long")
+
+    sums = []
+    for j in range(11):
+        packed = None
+        for p, b in enumerate(range(3 * j, min(3 * j + 3, 32))):
+            piece = F.shiftleft(bit(b), 21 * p)
+            packed = piece if packed is None else packed + piece
+        sums.append(F.sum(packed).alias(f"s{j}"))
+    agg = nibbled.groupBy("doc_id").agg(F.count("*").alias("n"), *sums)
+
+    def vote(b: int) -> F.Column:
+        j, p = b // 3, b % 3
+        ones = F.shiftright(F.col(f"s{j}"), 21 * p).bitwiseAND(F.lit((1 << 21) - 1))
+        return (ones * 2) > F.col("n")
+
+    def pack(bits: range, offset: int) -> F.Column:
+        total = None
+        for b in bits:
+            piece = F.when(vote(b), F.lit(2 ** (b - offset))).otherwise(F.lit(0))
+            total = piece if total is None else total + piece
+        return total
+
+    band_width = 32 // n_bands if n_bands else 0
+    return agg.select(
+        "doc_id",
+        pack(range(32), 0).cast("long").alias("simhash"),
+        *[
+            pack(range(band_width * k, band_width * (k + 1)), band_width * k)
+            .cast("int")
+            .alias(f"band_{k}")
+            for k in range(n_bands)
+        ],
+    )
+
+
+_SIMHASH_SIG_ORACLE = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+    {_sql_simhash_votes()}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+@register("simhash_signatures", oracle=_SIMHASH_SIG_ORACLE, tags=("dedup", "llm"))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5-nibble token bits —
+    cross-engine deterministic, so fully oracle-checked (round 1 ran
+    this with engine-native xxhash64 and only got a rows-only check;
+    the md5 bit source its twin dedup_simhash proved oracle-expressible
+    now anchors the values too). One explode + one packed-vote hash-agg
+    keyed by doc_id.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _simhash_md5_sig(d, n_bands=0)
+
+
 _SIMHASH_DEDUP_ORACLE = rf"""
 WITH rep AS (
   SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
@@ -1217,61 +1317,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band bucket.
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     rep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    tok = rep.select("doc_id", F.explode(TX.distinct_tokens("text")).alias("tok"))
-    # Materialize the digest nibbles ONCE per token row: aggregate
-    # expressions don't share subexpressions, so referencing md5(tok)
-    # inside all 32 votes would hash every token 32 times (measured
-    # ~7x slower).
-    hexes = F.lit(_HEXES)
-    md5c = F.md5("tok")
-    nibbled = tok.select(
-        "doc_id",
-        *[
-            (F.instr(hexes, F.substring(md5c, i + 1, 1)) - 1).alias(f"nib{i}")
-            for i in range(8)
-        ],
-    )
-
-    # Packed vote accumulators: 3 bit-counts per 64-bit SUM at 21-bit
-    # spacing (safe to 2^21 ≈ 2M distinct tokens/doc) → 11 aggregate
-    # buffers instead of 32. Majority vote of ±1 over n tokens is
-    # sum > 0 ⇔ 2·ones > n, so per-bit one-counts + a row count carry
-    # the same information as 32 signed sums with a third of the
-    # hash-agg state per group. Verified pair-for-pair identical to the
-    # 32-sum form and ~10% faster end-to-end at sf0.1.
-    def bit(b: int) -> F.Column:
-        i, k = b // 4, b % 4
-        return F.shiftright(F.col(f"nib{i}"), k).bitwiseAND(F.lit(1)).cast("long")
-
-    sums = []
-    for j in range(11):
-        packed = None
-        for p, b in enumerate(range(3 * j, min(3 * j + 3, 32))):
-            piece = F.shiftleft(bit(b), 21 * p)
-            packed = piece if packed is None else packed + piece
-        sums.append(F.sum(packed).alias(f"s{j}"))
-    agg = nibbled.groupBy("doc_id").agg(F.count("*").alias("n"), *sums)
-
-    def vote(b: int) -> F.Column:
-        j, p = b // 3, b % 3
-        ones = F.shiftright(F.col(f"s{j}"), 21 * p).bitwiseAND(F.lit((1 << 21) - 1))
-        return (ones * 2) > F.col("n")
-
-    def pack(bits: range, offset: int) -> F.Column:
-        total = None
-        for b in bits:
-            piece = F.when(vote(b), F.lit(2 ** (b - offset))).otherwise(F.lit(0))
-            total = piece if total is None else total + piece
-        return total
-
-    sig = agg.select(
-        "doc_id",
-        pack(range(32), 0).cast("long").alias("simhash"),
-        *[
-            pack(range(16 * k, 16 * k + 16), 16 * k).cast("int").alias(f"band_{k}")
-            for k in range(2)
-        ],
-    )
+    # Signature via the shared md5-nibble packed-vote helper (11 packed
+    # vote sums instead of 32 signed sums — a third of the hash-agg
+    # state per group; verified pair-for-pair identical and ~10% faster
+    # end-to-end at sf0.1). Two 16-bit LSH bands.
+    sig = _simhash_md5_sig(rep, n_bands=2)
     bucket = sig.select(
         "doc_id",
         "simhash",

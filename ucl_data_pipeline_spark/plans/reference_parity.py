@@ -170,6 +170,34 @@ def bootstrap_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P1 — column-NAME case conformance
+# ---------------------------------------------------------------------------
+
+_CONFORM_NAMES_ORACLE = """
+SELECT
+  n_nationkey AS N_NATIONKEY,
+  n_name AS N_NAME,
+  n_regionkey AS N_REGIONKEY
+FROM nation
+"""
+
+
+@register("conform_column_names_upper", oracle=_CONFORM_NAMES_ORACLE, tags=("scalar",))
+def conform_column_names_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: uppercase every column NAME (values untouched) — the
+    reference's header normalization ``df.columns = [c.upper() ...]``
+    (scripts/fetch_football_data.py:31-32). Metadata-only rename: free
+    at any scale.
+    """
+    from ucl_data_pipeline_spark.sources.io import conform_column_names
+
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return conform_column_names(n, case="upper")
+
+
+# ---------------------------------------------------------------------------
 # F1/F3 — trim + regex strip of trailing parenthetical
 # ---------------------------------------------------------------------------
 

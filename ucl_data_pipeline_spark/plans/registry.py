@@ -56,12 +56,90 @@ def register(
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Export ordering
+# ---------------------------------------------------------------------------
+# The verification driver checks a bounded prefix (first 50) of the
+# exported query dict each round, so export order is rotated per round to
+# maximize cumulative driver-verified coverage: queries that are new,
+# changed this round, or never driver-checked come first; queries with a
+# green CORRECTNESS row from a prior round come last (they stay registered
+# and locally verified — tools/verify_local.py covers the full inventory).
+#
+# Round-2 priority: the red round-1 row (fractional_odds), the two
+# rows-only rows upgraded to oracle-checked this round, every query whose
+# implementation changed this round, then the round-1-unchecked inventory
+# (slots 50-98 of CORRECTNESS_r01.json).
+EXPORT_FIRST: tuple[str, ...] = (
+    "fractional_odds",
+    "simhash_signatures",
+    "approx_distinct_suppliers",
+    "bootstrap_priors",
+    "jaccard_shingle_pairs",
+    "conform_column_names_upper",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "returned_items_top20",
+    "large_volume_customers",
+    "nation_trade_volume",
+    "nation_market_share",
+    "suppliers_who_kept_waiting",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "dedup_events_first",
+    "hypertable_rollup",
+    "json_props_extract",
+    "map_functions",
+    "funnel_analysis",
+    "kmeans_clusters",
+    "dedup_embedding_cosine",
+    "tfidf_top_terms",
+    "array_functions",
+    "cohort_retention",
+    "rolling_anomaly_score",
+    "percentile_prices",
+    "stats_moments",
+    "pivot_status_counts",
+    "correlated_exists",
+    "scalar_subquery_filter",
+    "deterministic_sample",
+    "collect_sorted_list",
+    "json_roundtrip",
+    "salted_skew_join",
+    "unpivot_metrics",
+    "global_quantile_buckets",
+    "data_quality_profile",
+    "snapshot_upsert_latest",
+    "stratified_sample",
+    "as_of_join",
+    "range_join_bands",
+    "gap_fill_daily",
+    "ntile_quartiles",
+    "forward_fill",
+    "user_event_sequences",
+    "multimodal_binary_meta",
+)
+
+
+def _export_order() -> list[str]:
+    first = [n for n in EXPORT_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in EXPORT_FIRST]
+    return first + rest
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _export_order()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _export_order()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -95,3 +173,13 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def sql_knuth_bucket(expr: str, m: int) -> str:
+    """DuckDB spelling of functions.scalar.knuth_bucket (width-safe
+    Knuth multiplicative hash bucket — see its docstring)."""
+    k = f"({expr} % 4294967296)"
+    return (
+        f"((((({k} // 65536) * 2654435761) % 4294967296) * 65536"
+        f" + ({k} % 65536) * 2654435761) % 4294967296) % {m}"
+    )

@@ -45,18 +45,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the JVM
     reader rejects; we read nanos as long and floor-convert to
     microsecond timestamps (identical to DuckDB's ns→µs truncation).
+
+    Defense-in-depth: the engine does not own the SparkSession it is
+    handed (the verification driver builds its own), so the one conf
+    value correctness depends on — a UTC session timezone for
+    naive-timestamp semantics (SURVEY F6) — is re-asserted here rather
+    than assumed from ``session.py``. ANSI mode is deliberately NOT
+    touched: every coercion path uses ``try_*`` functions, so plans are
+    ANSI-neutral by construction.
     """
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Scope the legacy-nanos conf to this one analysis: flip it for
+        # the schema resolution, then restore the caller's value so an
+        # unrelated later read in the same session is not retyped.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        nanos_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name == "ts" and isinstance(f.dataType, T.LongType)
-        ]
-        for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        try:
+            df = spark.read.parquet(path)
+            nanos_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name == "ts" and isinstance(f.dataType, T.LongType)
+            ]
+            for c in nanos_cols:
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df
     return spark.read.parquet(path)
 
@@ -140,6 +161,23 @@ def conform(
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def conform_column_names(df: DataFrame, case: str = "upper") -> DataFrame:
+    """P1: conform every column NAME to one case (values untouched).
+
+    Reference: ``df.columns = [c.upper() ...]``
+    (scripts/fetch_football_data.py:31-32) normalizes header spelling
+    before candidate-column selection. A pure rename — zero-cost at any
+    scale (metadata-only, no expression evaluated).
+    """
+    if case == "upper":
+        names = [c.upper() for c in df.columns]
+    elif case == "lower":
+        names = [c.lower() for c in df.columns]
+    else:
+        raise ValueError(f"case must be 'upper' or 'lower', got {case!r}")
+    return df.toDF(*names)
 
 
 def read_json_records(
