@@ -163,3 +163,17 @@ def test_dedup_within_watermark_keeps_one_per_key(
     want_keys = {(r.user_id, r.event_type) for r in want.collect()}
     assert got_keys == want_keys
     assert got.count() == len(got_keys)
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    from ucl_data_pipeline_spark.plans.events_windows import (
+        view_click_interval_join,
+    )
+    from ucl_data_pipeline_spark.streaming import interval_join_stream
+
+    v = read_events_stream(spark, events_dir)
+    c = read_events_stream(spark, events_dir)
+    stream = interval_join_stream(v, c)
+    got = run_available_now(stream, str(tmp_path / "ckpt"))
+    want = view_click_interval_join(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)

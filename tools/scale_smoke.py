@@ -60,12 +60,19 @@ HEAVY = [
     "window_top2_per_key",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "jaccard_shingle_pairs",
     "embedding_topk_cosine",
     "embedding_ivf_topk",
     "session_window_agg",
     "as_of_join",
     "salted_skew_join",
+    "contamination_ngram_overlap",
+    "large_volume_customers",
+    "kmeans_clusters",
 ]
+
+if os.environ.get("SMOKE_QUERIES"):
+    HEAVY = os.environ["SMOKE_QUERIES"].split(",")
 
 
 def main() -> None:

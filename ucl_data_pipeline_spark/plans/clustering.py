@@ -53,9 +53,17 @@ def _sq_dist(a: str, b: str) -> Column:
 
 
 def _centers_lit(centers: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+    # The k x dim center matrix enters the plan as ONE parsed SQL
+    # expression. Building it element-wise (F.array of F.lit, or even
+    # F.lit on a nested list) issues one py4j round-trip PER ELEMENT —
+    # ~6k JVM calls per iteration at k=8, dim=64, which profiling
+    # showed was over half of kmeans' total runtime. repr(float) is
+    # shortest-round-trip and Double.parseDouble is correctly rounded,
+    # so the values survive bit-exactly.
+    inner = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in centers
     )
+    return F.expr(f"array({inner})")
 
 
 def _dists(centers: list[list[float]]) -> Column:
@@ -140,16 +148,26 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative), the driver records rows-only and
     tests/test_clustering.py asserts the semantics.
     """
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Row-aware parallelism: ~15 tiny driver-coordinated jobs run over
+    # the cached points, so scheduling cost scales with partition count
+    # — blanket fan_out(32) at sf0.1 (2000 rows) spent more time
+    # scheduling 32 tasks x 15 jobs than computing (A/B: 32 parts
+    # 9.6 s, 4 parts 3.5 s). n comes from parquet row-group metadata
+    # (count of an unprojected scan — no data read); at 100 TB
+    # n/4096 >> cores, so this caps at full cluster parallelism.
+    n_rows = emb.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, n_rows // 4096))
     pts = (
-        read_table(spark, sf_dir, "embeddings")
-        .select("vec_id", VX.as_double("embedding").alias("embedding"))
+        emb.select("vec_id", VX.as_double("embedding").alias("embedding"))
         # Persist across init + Lloyd iterations: every round re-reads
         # the full point set (~9 passes total), so without this each
-        # pass re-scans parquet and re-runs the double conversion —
-        # measured 6.0 s at sf0.1 (slowest query in BENCH_r01); at
+        # pass re-scans parquet and re-runs the double conversion; at
         # 100 TB an uncached iterative re-scan is the dominant cost.
-        # MEMORY_AND_DISK: a partition that doesn't fit in executor
-        # memory spills instead of being recomputed from parquet.
+        # MEMORY_AND_DISK: partitions that don't fit spill instead of
+        # being recomputed.
+        .repartition(n_parts)
         .persist()
     )
     centers = _kmeans_parallel_init(pts, K)

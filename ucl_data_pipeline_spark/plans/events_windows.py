@@ -395,3 +395,58 @@ def rolling_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value",
         z.alias("trailing_z"),
     )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT
+  v.user_id,
+  v.event_id AS view_id,
+  c.event_id AS click_id,
+  CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_s
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "view_click_interval_join",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    tags=("events", "join", "temporal"),
+)
+def view_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) self-join: every click within 30 minutes
+    after a view by the same user — the batch twin of the stream-stream
+    join in streaming.windows.interval_join_stream (identical join
+    condition; there each side carries a watermark so the state store
+    can expire rows older than the bound).
+
+    Scale: equi-key on user_id carries the shuffle; the time bound is
+    evaluated inside the join so no per-user cross product ever
+    materializes beyond the 30-minute band.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
+        ).alias("lag_s"),
+    )

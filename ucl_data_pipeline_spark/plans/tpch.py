@@ -205,44 +205,42 @@ LIMIT 100
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: customers holding orders whose total quantity exceeds
     a threshold — an aggregated HAVING subquery feeding a semi join
-    back onto the fact spine. Catalyst plans the IN as a left-semi
-    join against the pre-aggregated key set (aggregate once, never per
-    outer row); top-100 via TakeOrderedAndProject.
+    back onto the fact spine; top-100 via TakeOrderedAndProject.
 
-    Join order: ``orders`` is semi-filtered on the big-order key set
-    BEFORE the lineitem join — the HAVING > 150 predicate is highly
-    selective, so the fact-fact shuffle probes a tiny build side
-    instead of all of orders (Catalyst does not push a semi join
-    through an inner join on its own; round-1 plan audit flagged this
-    as the slowest TPC-H shape at 1.88 s).
+    Plan: the textbook formulation re-joins lineitem after the semi
+    filter and re-aggregates per order — but the inner HAVING aggregate
+    ALREADY IS the per-order quantity sum the output needs (the final
+    GROUP BY keys are functionally dependent on o_orderkey). So
+    lineitem is scanned and aggregated exactly once, and the filtered
+    per-order totals (tiny after HAVING > 150) join up the
+    orders→customer spine — no lineitem-side fact-fact shuffle at all.
+    Round-1 audit flagged the old two-scan form as the slowest TPC-H
+    shape (1.88 s at sf0.1).
     """
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
+    # Quantities are integral, so a long sum is exact AND
+    # order-independent — same determinism as the decimal convention at
+    # ~25% less agg cost (the one big hash-agg dominates this query).
     big_orders = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         .filter(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
-    )
-    o_big = o.join(
-        big_orders, o["o_orderkey"] == big_orders["big_orderkey"], "left_semi"
     )
     return (
-        l.join(o_big, l["l_orderkey"] == o_big["o_orderkey"])
-        .join(c, o_big["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_qty")
+        big_orders.join(o, big_orders["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            "o_totalprice", "total_qty",
-        )
     )
 
 

@@ -136,6 +136,55 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the views it
+    followed within ``max_lag`` for the same user — the streaming twin
+    of the batch query plans.events_windows.view_click_interval_join
+    (identical join condition and output columns).
+
+    Both inputs carry watermarks and the join condition bounds the
+    event-time distance in BOTH directions, so Spark can expire
+    buffered rows once the watermark passes the bound — state is sized
+    by (rate × lag window), not stream length. This is the canonical
+    ad-attribution / impression-click pattern.
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {max_lag}")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("lag_s"),
+    )
+
+
 RUNNING_TOTALS_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),
