@@ -214,3 +214,88 @@ def test_contamination_fraction_bounds(spark):
         assert abs(r.contamination_frac - r.n_contaminated / r.n_grams) < 1e-12
         # benchmark docs never appear in the eval output
         assert r.doc_id % 97 != 0
+
+
+# ---------------------------------------------------------------------------
+# llm_ops3 semantics
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_topk_structure_and_recall(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops import embedding_topk_cosine
+    from ucl_data_pipeline_spark.plans.llm_ops3 import embedding_sq8_topk
+
+    sq = embedding_sq8_topk(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in sq:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: -r.cos_sim)]
+        assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+    # 8-bit quantization is near-lossless at this dim: the top-1
+    # neighbor must match the exact brute-force top-1 per query
+    exact = embedding_topk_cosine(spark, SF).collect()
+    exact_top1 = {}
+    for r in exact:
+        cur = exact_top1.get(r.query_id)
+        if cur is None or r.cos_sim > cur[1]:
+            exact_top1[r.query_id] = (r.neighbor_id, r.cos_sim)
+    sq_top1 = {}
+    for r in sq:
+        cur = sq_top1.get(r.query_id)
+        if cur is None or r.cos_sim > cur[1]:
+            sq_top1[r.query_id] = (r.neighbor_id, r.cos_sim)
+    assert set(sq_top1) == set(exact_top1)
+    agree = sum(sq_top1[q][0] == exact_top1[q][0] for q in sq_top1)
+    assert agree >= len(sq_top1) - 1  # allow one borderline flip
+
+
+def test_containment_dominates_jaccard(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops import jaccard_shingle_pairs
+    from ucl_data_pipeline_spark.plans.llm_ops3 import shingle_containment_pairs
+
+    cont = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+        for r in shingle_containment_pairs(spark, SF).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_shingle_pairs(spark, SF).collect()
+    }
+    assert set(cont) == set(jac)  # same candidate pairs by construction
+    for pair, (ca, cb) in cont.items():
+        assert 0.0 < ca <= 1.0 and 0.0 < cb <= 1.0
+        # containment >= jaccard always (divides by a subset-size)
+        assert ca >= jac[pair] - 1e-12 and cb >= jac[pair] - 1e-12
+
+
+def test_url_normalize_canonical_form(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops3 import url_normalize
+
+    rows = url_normalize(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.host == r.host.lower()
+        assert not r.host.startswith("www.")
+        assert "utm_" not in r.canonical_url and "ref=" not in r.canonical_url
+        assert r.canonical_url.startswith(r.host)
+        if r.doc_id % 3 == 0:
+            assert r.canonical_url.endswith("?page=2")
+        else:
+            assert "?" not in r.canonical_url
+
+
+def test_mixture_weights_sum_to_one(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops3 import domain_mixture_weights
+
+    rows = domain_mixture_weights(spark, SF).collect()
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-9
+    total_w = sum(r.mixture_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-4  # 6dp rounding slack per source
+    # temperature scaling upsamples small domains: min weight ratio
+    # must exceed min token-share ratio
+    ws = sorted(r.mixture_weight for r in rows)
+    ps = sorted(r.p for r in rows)
+    if ps[0] < ps[-1]:
+        assert ws[0] / ws[-1] > ps[0] / ps[-1]

@@ -110,22 +110,44 @@ def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     relies on). Round 1 recorded this rows-only; this form gets a full
     schema+rows+value hash.
     """
-    approx_s = F.approx_count_distinct("l_suppkey", 0.01)
-    approx_p = F.approx_count_distinct("l_partkey", 0.01)
-    exact_s = F.countDistinct("l_suppkey")
-    exact_p = F.countDistinct("l_partkey")
-    within = (
-        (F.abs(approx_s - exact_s) / exact_s <= 0.05)
-        & (F.abs(approx_p - exact_p) / exact_p <= 0.05)
-    )
-    return (
-        read_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            exact_s.alias("exact_suppliers"),
-            exact_p.alias("exact_parts"),
-            within.alias("approx_within_5pct"),
+    # Plan shape: one groupBy with two exact DISTINCTs + two HLLs
+    # compiles to a 4x Expand of the fact — measured ~7 s at sf0.1.
+    # Instead each key deduplicates to (flag, key) pairs first (the
+    # partial agg collapses map-side), and both the exact count and the
+    # HLL run over the distinct pairs in one pass — HLL estimates
+    # depend only on the value SET, so the estimate is identical.
+    l = read_table(spark, sf_dir, "lineitem")
+
+    def per_key(key: str, exact_alias: str, approx_alias: str) -> DataFrame:
+        return (
+            l.select("l_returnflag", key)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias(exact_alias),
+                F.approx_count_distinct(key, 0.01).alias(approx_alias),
+            )
         )
+
+    sup = per_key("l_suppkey", "exact_suppliers", "approx_suppliers")
+    par = per_key("l_partkey", "exact_parts", "approx_parts")
+    within = (
+        (
+            F.abs(F.col("approx_suppliers") - F.col("exact_suppliers"))
+            / F.col("exact_suppliers")
+            <= 0.05
+        )
+        & (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        )
+    )
+    return sup.join(par, "l_returnflag").select(
+        "l_returnflag",
+        "exact_suppliers",
+        "exact_parts",
+        within.alias("approx_within_5pct"),
     )
 
 

@@ -1,0 +1,403 @@
+"""Round-2 training-data operators, part 3: scalar-quantized ANN
+re-ranking, asymmetric containment mining, URL normalization, and
+data-mixture weighting.
+
+All pure Catalyst expressions with exact DuckDB oracles, following the
+registry's cross-engine determinism conventions (identical IEEE
+operation order for float math, ROUND(x,6) + decimal-exact sums where
+accumulation order could differ, identical aliases both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.functions import text as TX
+from ucl_data_pipeline_spark.functions import vector as VX
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN: quantized first pass, exact re-rank
+# ---------------------------------------------------------------------------
+
+# Quantization grid: per-dimension global [min, max] split into 256
+# bins; a vector is stored as one uint8 code per dimension (4x smaller
+# than float32, 8x smaller than float64). The first-pass score uses the
+# bin-center reconstruction; the final top-k is re-ranked with exact
+# cosine. Both engines evaluate the SAME IEEE expression order:
+#   code   = least(255, greatest(0, floor((x - mn) * 256.0 / width)))
+#   approx = mn + (code + 0.5) * width / 256.0
+
+_SQ8_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), stats AS (
+  SELECT i AS pos, MIN(emb[i]) AS mn, MAX(emb[i]) AS mx
+  FROM e, unnest(generate_series(1, len(emb))) AS t(i)
+  GROUP BY i
+), grid AS (
+  SELECT list(mn ORDER BY pos) AS mn_arr, list(mx ORDER BY pos) AS mx_arr
+  FROM stats
+), deq AS (
+  SELECT e.vec_id, e.emb,
+    list_transform(generate_series(1, len(e.emb)), i ->
+      CASE WHEN g.mx_arr[i] - g.mn_arr[i] = 0 THEN g.mn_arr[i]
+           ELSE g.mn_arr[i]
+                + (LEAST(255, GREATEST(0,
+                     FLOOR((e.emb[i] - g.mn_arr[i]) * 256.0
+                           / (g.mx_arr[i] - g.mn_arr[i])))) + 0.5)
+                  * (g.mx_arr[i] - g.mn_arr[i]) / 256.0
+      END) AS deq
+  FROM e CROSS JOIN grid g
+), approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.emb AS q_emb, c.emb AS c_emb,
+         list_dot_product(q.emb, c.deq)
+           / nullif(sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(c.deq, c.deq)), 0.0) AS approx_sim
+  FROM deq q JOIN deq c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY approx_sim DESC, c.vec_id) <= 10
+)
+SELECT query_id, neighbor_id,
+       list_dot_product(q_emb, c_emb)
+         / nullif(sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(c_emb, c_emb)), 0.0) AS cos_sim
+FROM approx
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3
+"""
+
+
+@register("embedding_sq8_topk", oracle=_SQ8_ORACLE, tags=("vector", "llm"))
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 (8-bit scalar quantization) ANN: the first-pass similarity
+    scans bin-center reconstructions of uint8 codes — 4-8x less memory
+    bandwidth than raw floats, the standard compressed-scan companion
+    to IVF — keeps the top-10 per query, then re-ranks with exact
+    cosine to top-3.
+
+    Scale shape: the quantization grid is a 1-row broadcast (per-dim
+    min/max — one agg pass); codes are computed scan-side; the approx
+    pass is the only O(n·queries) stage and touches compressed values
+    only. Cross-engine: identical IEEE expression order both sides, so
+    ranking and values hash-match exactly.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double("embedding").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos0", "val"))
+        .groupBy("pos0")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    grid = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "mx"))), lambda s: s["mx"]
+        ).alias("mx_arr"),
+    )
+
+    def dequant(emb: F.Column) -> F.Column:
+        # zip (x, mn) then (partial, mx): two zip_withs stand in for a
+        # 3-ary zip; the arithmetic mirrors the oracle token-for-token.
+        x_mn = F.zip_with(emb, F.col("mn_arr"), lambda x, mn: F.struct(
+            x.alias("x"), mn.alias("mn")
+        ))
+        return F.zip_with(
+            x_mn,
+            F.col("mx_arr"),
+            lambda s, mx: F.when(mx - s["mn"] == 0, s["mn"]).otherwise(
+                s["mn"]
+                + (
+                    F.least(
+                        F.lit(255.0),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.floor(
+                                (s["x"] - s["mn"]) * 256.0 / (mx - s["mn"])
+                            ),
+                        ),
+                    )
+                    + 0.5
+                )
+                * (mx - s["mn"])
+                / 256.0
+            ),
+        )
+
+    deq = fan_out(e).crossJoin(F.broadcast(grid)).select(
+        "vec_id", "emb", dequant(F.col("emb")).alias("deq")
+    )
+    q = deq.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    c = deq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("deq").alias("c_deq"),
+    )
+    approx_sim = VX.dot("q_emb", "c_deq") / F.nullif(
+        F.sqrt(VX.dot("q_emb", "q_emb")) * F.sqrt(VX.dot("c_deq", "c_deq")),
+        F.lit(0.0),
+    )
+    w10 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", approx_sim.alias("approx_sim"))
+        .withColumn("rn", F.row_number().over(w10))
+        .filter(F.col("rn") <= 10)
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.select(
+            "query_id",
+            "neighbor_id",
+            VX.cosine("q_emb", "c_emb").alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_MAX_DF = 50
+
+_CONTAINMENT_ORACLE = rf"""
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
+), feat AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+    ELSE [] END AS feats
+  FROM tok
+), ex AS (
+  SELECT doc_id, unnest(feats) AS f FROM feat
+), ex_inf AS (
+  SELECT doc_id, f FROM ex
+  QUALIFY COUNT(*) OVER (PARTITION BY f) <= {_CONTAINMENT_MAX_DF}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex_inf GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex_inf a JOIN ex_inf b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  s.doc_a, s.doc_b,
+  CAST(s.n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+  CAST(s.n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE s.n_shared >= 5
+"""
+
+
+@register(
+    "shingle_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("dedup", "llm")
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment mining: |A∩B|/|A| and |A∩B|/|B| over
+    informative trigram shingles — catches SUB-document duplication
+    (a page quoting another wholesale) that symmetric Jaccard
+    underweights: a small doc fully contained in a big one has high
+    containment_a but low Jaccard. Same inverted-index shape, rep
+    collapse and stop-shingle df cap as jaccard_shingle_pairs.
+    """
+    from ucl_data_pipeline_spark.plans.llm_ops import _rep_features
+
+    feats = _rep_features(spark, sf_dir)
+    ex = feats.select("doc_id", F.explode("feats").alias("f")).persist()
+    informative = (
+        ex.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _CONTAINMENT_MAX_DF)
+        .select("f")
+    )
+    ex_inf = ex.join(informative, "f").persist()
+    sizes = ex_inf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex_inf.alias("a")
+    b = ex_inf.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_shared").cast("double") / F.col("na").cast("double")).alias(
+                "containment_a"
+            ),
+            (F.col("n_shared").cast("double") / F.col("nb").cast("double")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL normalization / domain aggregation
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no URL column, so one is synthesized
+# deterministically from keys (the OPERATOR — normalization — is what's
+# under test; precedent: fractional_odds synthesizes its odds strings).
+_URL_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM/Docs/' || CAST(doc_id AS VARCHAR)
+      || '/?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '&page=2' ELSE '' END AS url
+  FROM documents
+), norm AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^[A-Za-z]+://(?:[Ww][Ww][Ww]\\.)?([^/?#]+)', 1))
+      AS host,
+    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/$', '') AS path,
+    CASE WHEN doc_id % 3 = 0 THEN 'page=2' ELSE '' END AS kept_query
+  FROM raw
+)
+SELECT doc_id,
+       host,
+       host || path
+         || CASE WHEN kept_query <> '' THEN '?' || kept_query ELSE '' END
+         AS canonical_url
+FROM norm
+"""
+
+
+@register("url_normalize", oracle=_URL_ORACLE, tags=("text", "llm", "scalar"))
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the dedup key for crawl corpora: scheme
+    and www stripped, host lower-cased, trailing slash removed,
+    tracking parameters (utm_*, ref) dropped while real query params
+    are kept. Pure regexp projections, scan-side, no shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&page=2")).otherwise(F.lit("")),
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z]+://(?:[Ww][Ww][Ww]\.)?([^/?#]+)", 1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    kept_query = F.when(F.col("doc_id") % 3 == 0, F.lit("page=2")).otherwise(
+        F.lit("")
+    )
+    canonical = F.concat(
+        host,
+        path,
+        F.when(kept_query != "", F.concat(F.lit("?"), kept_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id", host.alias("host"), canonical.alias("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture weighting
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = rf"""
+WITH per_source AS (
+  SELECT source, SUM(len({_SQL_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total FROM per_source
+), scored AS (
+  SELECT s.source, s.n_tokens,
+         CAST(s.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
+         ROUND(sqrt(CAST(s.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE)), 6)
+           AS p_alpha
+  FROM per_source s CROSS JOIN tot t
+), denom AS (
+  SELECT CAST(SUM(CAST(p_alpha AS DECIMAL(18,6))) AS DOUBLE) AS z FROM scored
+)
+SELECT s.source, s.n_tokens, s.p,
+       ROUND(s.p_alpha / d.z, 6) AS mixture_weight
+FROM scored s CROSS JOIN denom d
+"""
+
+
+@register("domain_mixture_weights", oracle=_MIXTURE_ORACLE, tags=("llm", "agg"))
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source domain:
+    w_i ∝ p_i^α with α=0.5 (square-root upsampling of small domains —
+    the standard multilingual/multi-domain rebalancing rule). Token
+    shares are exact integer ratios; the transcendental sqrt terms are
+    rounded to 6 dp and normalized by their exact decimal sum
+    (registry's cross-engine convention).
+
+    Shape: one hash-agg per source + two 1-row broadcasts; scan-side
+    token counting.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total"))
+    scored = per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total").cast("double")).alias(
+            "p"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("n_tokens").cast("double") / F.col("total").cast("double")
+            ),
+            6,
+        ).alias("p_alpha"),
+    )
+    denom = scored.agg(
+        F.sum(F.col("p_alpha").cast("decimal(18,6)")).cast("double").alias("z")
+    )
+    return scored.join(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        "p",
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("mixture_weight"),
+    )
