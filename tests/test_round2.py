@@ -299,3 +299,41 @@ def test_mixture_weights_sum_to_one(spark):
     ps = sorted(r.p for r in rows)
     if ps[0] < ps[-1]:
         assert ws[0] / ws[-1] > ps[0] / ps[-1]
+
+
+# ---------------------------------------------------------------------------
+# CLI entry point
+# ---------------------------------------------------------------------------
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path):
+    import ucl_data_pipeline_spark.__main__ as cli
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "raw_football_data.csv").write_text(
+        "date,home_team,away_team,home_goals,away_goals\n"
+        "2025-09-18,Liverpool,Bayern,2,1\n"
+    )
+    (data / "team_name_map.csv").write_text("raw,canonical\nBayern,Bayern Munich\n")
+    out = tmp_path / "out"
+    rc = cli.main(
+        ["pipeline", "--data-dir", str(data), "--out-dir", str(out)]
+    )
+    assert rc == 0
+    hist = spark.read.option("header", True).csv(str(out / "HIST_matches"))
+    rows = hist.collect()
+    assert len(rows) == 1
+    assert rows[0].away_team == "Bayern Munich"  # name map applied
+    assert len(hist.columns) == 20  # canonical HIST projection
+    up = spark.read.option("header", True).csv(str(out / "UPCOMING_fixtures"))
+    assert up.count() == 0  # empty-but-valid (no fixtures input)
+
+
+def test_cli_list_and_run(capsys):
+    import ucl_data_pipeline_spark.__main__ as cli
+
+    assert cli.main(["list", "--tag", "tpch"]) == 0
+    out = capsys.readouterr().out
+    assert "large_volume_customers" in out and "min_cost_supplier" in out
+    assert cli.main(["run", "nope"]) == 2
