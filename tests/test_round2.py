@@ -337,3 +337,24 @@ def test_cli_list_and_run(capsys):
     out = capsys.readouterr().out
     assert "large_volume_customers" in out and "min_cost_supplier" in out
     assert cli.main(["run", "nope"]) == 2
+
+
+def test_boilerplate_chunk_removal_semantics(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops3 import (
+        _BOILER_DF,
+        boilerplate_chunk_removal,
+    )
+
+    rows = boilerplate_chunk_removal(spark, SF).collect()
+    assert len(rows) > 0
+    total_boiler = sum(r.n_boilerplate for r in rows)
+    for r in rows:
+        assert 0 <= r.n_boilerplate <= r.n_chunks
+        kept_words = r.clean_text.split() if r.clean_text else []
+        # every kept chunk has <= 10 tokens, so clean_text token count
+        # is bounded by 10 * kept chunks
+        assert len(kept_words) <= 10 * (r.n_chunks - r.n_boilerplate)
+    # a chunk is boilerplate for EVERY doc containing it or none
+    from collections import defaultdict
+    docs = {r.doc_id: r for r in rows}
+    assert len(docs) == len(rows)

@@ -177,3 +177,26 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     got = run_available_now(stream, str(tmp_path / "ckpt"))
     want = view_click_interval_join(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
+
+
+def test_stream_static_broadcast_enrich(spark, sf_dir, events_dir, tmp_path):
+    # Stream-static join: an unbounded stream enriched by a bounded
+    # dimension (broadcast — no state store involved); every stream row
+    # must survive with its dimension value attached.
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = read_events_stream(spark, events_dir).join(
+        F.broadcast(dim), "user_id"
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt"))
+    want = read_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert all(r.tier == r.user_id % 3 for r in got.limit(50).collect())

@@ -401,3 +401,94 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.round(F.col("p_alpha") / F.col("z"), 6).alias("mixture_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate chunk removal (line-level dedup)
+# ---------------------------------------------------------------------------
+
+# CCNet/RefinedWeb-style line-level dedup: a segment whose exact content
+# recurs across >= _BOILER_DF distinct documents is boilerplate (nav
+# bars, cookie banners, license headers) and is dropped from every
+# document. This corpus is single-line, so segmentation falls back to
+# fixed 10-token windows; with real multi-line text the segmenter is
+# split(text, '\n') and everything downstream is unchanged.
+_BOILER_DF = 3
+_CHUNK = 10
+
+_BOILER_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(toks[i*{_CHUNK}+1:i*{_CHUNK}+{_CHUNK}], ' ') AS chunk
+  FROM tok,
+       unnest(generate_series(0,
+         CAST(ceil(len(toks)/{_CHUNK}.0) AS INT)-1)) AS t(i)
+), dfc AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS d FROM ch GROUP BY chunk
+), fl AS (
+  SELECT c.doc_id, c.idx, c.chunk, dfc.d >= {_BOILER_DF} AS boiler
+  FROM ch c JOIN dfc USING (chunk)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS INTEGER) AS n_chunks,
+  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boilerplate,
+  array_to_string(list(chunk ORDER BY idx) FILTER (NOT boiler), ' ')
+    AS clean_text
+FROM fl GROUP BY doc_id
+"""
+
+
+@register(
+    "boilerplate_chunk_removal", oracle=_BOILER_ORACLE, tags=("dedup", "llm", "text")
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (chunk-level) boilerplate removal: segments recurring
+    verbatim in >= 3 distinct documents are dropped from every document
+    and the cleaned text reassembled in original order — the CCNet-style
+    dedup stage that removes nav bars / banners / license headers
+    without discarding whole documents.
+
+    Scale shape: one explode + one hash-agg keyed by chunk content
+    (df count), one join back on the chunk key (both sides partitioned
+    by it), one per-doc agg. Chunk df is bounded by corpus size, never
+    quadratic; the rebuild is collect_list + array_sort per doc —
+    bounded by document length.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = TX.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * _CHUNK + 1, _CHUNK), " "
+        ),
+    )
+    # guard: sequence(0, -1) counts DOWN in Spark; zero-token docs
+    # cannot occur (split always yields >= 1 token) but stay safe
+    chunks = F.when(n_chunks > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+    dfc = ex.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("d")
+    )
+    fl = ex.join(dfc, "chunk").withColumn("boiler", F.col("d") >= _BOILER_DF)
+    return fl.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.col("boiler").cast("int")).cast("int").alias("n_boilerplate"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
