@@ -561,3 +561,46 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10)
     )
     return d.filter(h < rate).select("doc_id", "lang", "source")
+
+
+_APPROX_PERCENTILE_ORACLE = """
+SELECT
+  o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS exact_p50,
+  quantile_cont(o_totalprice, 0.9) AS exact_p90,
+  TRUE AS approx_within_2pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "approx_percentile_bounded",
+    oracle=_APPROX_PERCENTILE_ORACLE,
+    tags=("agg", "approx"),
+)
+def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy=10000 →
+    rank error <= 0.01%) — the 100 TB quantile path (exact percentile
+    sorts every group; the sketch is one mergeable pass). Raw sketch
+    output is engine-specific, so the oracle-anchored surface is the
+    exact quantiles plus the sketch's bounded-error CLAIM
+    (|approx - exact| / exact <= 2% at p50/p90 — deterministic for a
+    fixed dataset; the property the approx path's user relies on).
+    Mirrors approx_distinct_suppliers' treatment of HLL.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    exact50 = F.percentile("o_totalprice", 0.5)
+    exact90 = F.percentile("o_totalprice", 0.9)
+    approx = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+    )
+    within = (
+        (F.abs(approx.getItem(0) - exact50) / exact50 <= 0.02)
+        & (F.abs(approx.getItem(1) - exact90) / exact90 <= 0.02)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        exact50.alias("exact_p50"),
+        exact90.alias("exact_p90"),
+        within.alias("approx_within_2pct"),
+    )

@@ -492,3 +492,67 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite curation gate
+# ---------------------------------------------------------------------------
+
+_QUALITY_GATE_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      AS ttr,
+    CASE WHEN len(toks) >= 3 THEN
+      CAST(len(toks) - 2 - len(list_distinct(list_transform(
+        generate_series(0, len(toks)-3),
+        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE)
+      / CAST(len(toks) - 2 AS DOUBLE)
+    ELSE 0.0 END AS dup_frac
+  FROM tok
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+  CASE
+    WHEN n_tokens < 30 THEN 'too_short'
+    WHEN dup_frac > 0.3 THEN 'too_repetitive'
+    WHEN ttr < 0.3 THEN 'low_diversity'
+    ELSE 'keep'
+  END AS verdict
+FROM feat
+"""
+
+
+@register("quality_filter_pipeline", oracle=_QUALITY_GATE_ORACLE, tags=("llm", "text"))
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation gate — the keep/drop-with-reason decision a
+    pretraining pipeline applies per document, composed from the
+    engine's quality signals with FIRST-FAILING-RULE semantics (so
+    rejection reasons are auditable): minimum length, trigram
+    repetition cap, lexical-diversity floor. All scan-side array
+    expressions, one projection, no shuffle — the cheapest possible
+    full-corpus pass.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    grams = TX.shingles(toks, 3)
+    dup_frac = F.when(
+        n >= 3,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    verdict = (
+        F.when(n < 30, F.lit("too_short"))
+        .when(dup_frac > 0.3, F.lit("too_repetitive"))
+        .when(ttr < 0.3, F.lit("low_diversity"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id", n.cast("int").alias("n_tokens"), verdict.alias("verdict")
+    )
