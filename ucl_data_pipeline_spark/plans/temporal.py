@@ -280,3 +280,105 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(seq, lambda s: s["event_type"]).alias("event_seq"),
         F.slice(F.transform(seq, lambda s: s["event_id"]), 1, 5).alias("first5_ids"),
     )
+
+
+_LERP_ORACLE = """
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 <> 0 THEN value END AS reading
+  FROM events
+), nb AS (
+  SELECT event_id, user_id, ts, reading,
+    LAST_VALUE(reading IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN reading IS NOT NULL THEN epoch_us(ts) END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    FIRST_VALUE(reading IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN epoch_us(ts) END
+                IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM masked
+)
+SELECT event_id, user_id, ts, reading,
+  ROUND(CASE
+    WHEN reading IS NOT NULL THEN reading
+    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t <> prev_t
+      THEN prev_v + (next_v - prev_v)
+           * (CAST(epoch_us(ts) - prev_t AS DOUBLE)
+              / CAST(next_t - prev_t AS DOUBLE))
+    ELSE COALESCE(prev_v, next_v)
+  END, 6) AS reading_lerp
+FROM nb
+"""
+
+
+@register("linear_interpolate", oracle=_LERP_ORACLE, tags=("temporal", "window"))
+def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of a sparse sensor column:
+    missing readings take prev + (next-prev)·Δt/Δtotal between their
+    bracketing known values (boundary gaps degrade to nearest-known —
+    pandas ``interpolate(method='time')``, the hypertable
+    gap-repair primitive). Every 5th reading is deterministically
+    masked since the corpus has no natural nulls.
+
+    Shape: four IGNORE-NULLS window functions over ONE (user, time)
+    sort — a single shuffle, no self-join; timestamps lerp in exact
+    integer microseconds and the one division is rounded to 6 dp
+    (registry convention).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("reading"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros("ts")
+    known_t = F.when(F.col("reading").isNotNull(), t_us)
+    nb = masked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "reading",
+        F.last("reading", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(known_t, ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("reading", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(known_t, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (t_us - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t")).cast("double")
+    )
+    out = (
+        F.when(F.col("reading").isNotNull(), F.col("reading"))
+        .when(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_t") != F.col("prev_t")),
+            lerp,
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return nb.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "reading",
+        F.round(out, 6).alias("reading_lerp"),
+    )
