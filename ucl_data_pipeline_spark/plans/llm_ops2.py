@@ -343,3 +343,65 @@ def bigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+_VOCAB_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+), tot AS (
+  SELECT SUM(n) AS total FROM cnt
+)
+SELECT tok, n,
+  CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+  CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_coverage
+FROM cnt CROSS JOIN tot t
+ORDER BY n DESC, tok
+LIMIT 100
+"""
+
+
+@register("vocab_coverage", oracle=_VOCAB_ORACLE, tags=("llm", "text", "agg"))
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-100 tokens by frequency with
+    corpus share and CUMULATIVE coverage — the curve that decides
+    tokenizer vocab size ("how many types cover 95% of tokens").
+    Cumulative sums run over exact integers (cumsum of counts, one
+    division at the end), so cross-engine values are bit-identical.
+
+    Shape: one explode + hash-agg keyed by token, a 1-row broadcast
+    total, one ranked window — at 100 TB the window only ever sees the
+    aggregated vocabulary, not the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = fan_out(read_table(spark, sf_dir, "documents").select("text"))
+    cnt = d.select(F.explode(TX.tokens("text")).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    w = (
+        W.orderBy(F.col("n").desc(), "tok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "tok",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.sum("n").over(w).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_coverage"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
