@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis): the scalar kernels against
+independent Python reference models over generated inputs — a
+different axis of assurance from the DuckDB oracle (which fixes the
+inputs) and the unit tests (which fix the examples).
+
+Each example batches many generated values into ONE Spark job to keep
+the suite fast; examples are capped and deadlines disabled (Spark job
+latency would trip hypothesis' default deadline).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.functions.scalar import (
+    clamp_with_midpoint,
+    fractional_to_decimal_odds,
+    knuth_bucket,
+    weighted_hybrid,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_frac_odds(s: str | None) -> float | None:
+    """Reference model (scripts/utils.py:10-17), hardened: the
+    reference raises uncaught on ill-formed fractions; the engine's
+    contract coerces every such input to NULL."""
+    if s is None:
+        return None
+    if "/" in s:
+        parts = s.split("/")
+        if len(parts) != 2:
+            return None
+        try:
+            num, den = float(parts[0]), float(parts[1])
+        except ValueError:
+            return None
+        if den == 0.0:
+            return None
+        return 1.0 + num / den
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+odds_strategy = st.one_of(
+    st.builds(
+        lambda a, b: f"{a}/{b}",
+        st.integers(0, 50),
+        st.integers(0, 9),
+    ),
+    st.floats(0, 1000, allow_nan=False).map(lambda f: f"{f:.2f}"),
+    st.sampled_from(["evens", "", "x/y", "3/", "/4", "1/2/3", "garbage"]),
+    st.none(),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(odds_strategy, min_size=1, max_size=60))
+def test_fractional_odds_matches_python_model(spark, batch):
+    df = spark.createDataFrame([(s,) for s in batch], "odds: string")
+    got = [
+        r.dec
+        for r in df.select(fractional_to_decimal_odds("odds").alias("dec"))
+        .collect()
+    ]
+    want = [_py_frac_odds(s) for s in batch]
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-12)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=60),
+    st.sampled_from([7, 20, 100, 4096]),
+)
+def test_knuth_bucket_matches_python_model(spark, keys, m):
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    got = {
+        r.k: r.b
+        for r in df.select("k", knuth_bucket("k", m).alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == (k * 2654435761 % 2**32) % m
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_hybrid_degradation(spark, pairs):
+    df = spark.createDataFrame(pairs, "cur: double, last: double")
+    got = [
+        r.h
+        for r in df.select(
+            weighted_hybrid("cur", "last", 0.6).alias("h")
+        ).collect()
+    ]
+    for (cur, last), h in zip(pairs, got):
+        if cur is not None and last is not None:
+            assert h is not None and math.isclose(
+                h, 0.6 * cur + 0.4 * last, rel_tol=1e-12
+            )
+        elif cur is not None or last is not None:
+            assert h == (cur if cur is not None else last)
+        else:
+            assert h is None
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-10, 10, allow_nan=False).map(lambda f: f"{f:.4f}"),
+            st.sampled_from(["n/a", "", "abc"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_clamp_with_midpoint_bounds_and_coercion(spark, vals):
+    lo, hi = 0.55, 0.90
+    df = spark.createDataFrame([(v,) for v in vals], "v: string")
+    got = [
+        r.c
+        for r in df.select(clamp_with_midpoint("v", lo, hi).alias("c")).collect()
+    ]
+    for v, c in zip(vals, got):
+        assert lo <= c <= hi  # always clamped, never null
+        try:
+            x = float(v)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            x = (lo + hi) / 2.0  # unparseable -> midpoint
+        assert math.isclose(c, min(hi, max(lo, x)), rel_tol=1e-12)

@@ -45,13 +45,19 @@ def fractional_to_decimal_odds(c: ColumnOrName) -> Column:
     Uses ``try_cast`` throughout so garbage ('evens') → NULL under ANY
     session ANSI setting — the verification driver runs ANSI-on (Spark 4
     default) and plain ``cast`` would raise CAST_INVALID_INPUT there.
-    Division by a 0 denominator yields NULL via ``nullif``, matching the
-    reference's except→NaN.
+    Ill-formed fractions — zero denominator, non-numeric part, or not
+    exactly two '/'-parts ('1/2/3', hypothesis-found) — coerce to NULL;
+    the reference raises an uncaught exception on those (its try only
+    wraps the non-fraction branch), which a distributed pipeline must
+    not reproduce.
     """
     c = _col(c).cast("string")
-    num = F.split(c, "/").getItem(0).try_cast("double")
-    den = F.split(c, "/").getItem(1).try_cast("double")
-    frac = F.lit(1.0) + num / F.nullif(den, F.lit(0.0))
+    parts = F.split(c, "/")
+    num = parts.getItem(0).try_cast("double")
+    den = parts.getItem(1).try_cast("double")
+    frac = F.when(
+        F.size(parts) == 2, F.lit(1.0) + num / F.nullif(den, F.lit(0.0))
+    )
     return F.when(c.contains("/"), frac).otherwise(c.try_cast("double"))
 
 

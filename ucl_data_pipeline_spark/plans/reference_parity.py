@@ -89,8 +89,10 @@ SELECT
   l_linenumber,
   odds_str,
   CASE WHEN contains(odds_str, '/')
-       THEN 1.0 + TRY_CAST(string_split(odds_str, '/')[1] AS DOUBLE)
-                  / nullif(TRY_CAST(string_split(odds_str, '/')[2] AS DOUBLE), 0.0)
+       THEN CASE WHEN len(string_split(odds_str, '/')) = 2
+            THEN 1.0 + TRY_CAST(string_split(odds_str, '/')[1] AS DOUBLE)
+                 / nullif(TRY_CAST(string_split(odds_str, '/')[2] AS DOUBLE), 0.0)
+            END
        ELSE TRY_CAST(odds_str AS DOUBLE)
   END AS odds_dec
 FROM odds
