@@ -358,3 +358,23 @@ def test_boilerplate_chunk_removal_semantics(spark):
     from collections import defaultdict
     docs = {r.doc_id: r for r in rows}
     assert len(docs) == len(rows)
+
+
+def test_pagerank_properties(spark):
+    from ucl_data_pipeline_spark.plans.graph import (
+        _DAMP,
+        _N_NODES,
+        pagerank_trade_network,
+    )
+
+    rows = pagerank_trade_network(spark, SF).collect()
+    assert len(rows) == _N_NODES
+    ranks = [r.rank for r in rows]
+    # every rank at least the teleport floor
+    assert all(r >= (1 - _DAMP) / _N_NODES - 1e-9 for r in ranks)
+    # mass conservation up to dangling-node leak (ranks can only lose
+    # mass, never gain)
+    assert sum(ranks) <= 1.0 + 1e-6
+    assert sum(ranks) > (1 - _DAMP)  # teleport mass alone is preserved
+    # output is sorted by rank desc
+    assert ranks == sorted(ranks, reverse=True)

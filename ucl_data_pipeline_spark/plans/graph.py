@@ -1,0 +1,134 @@
+"""Graph analytics over the star schema: PageRank on the trade
+network. Unlike k-means (driver-coordinated argmin/init → rows-only),
+FIXED-ITERATION PageRank is fully oracle-checkable: the Spark side
+chains five lazy iteration plans (no driver round-trips at all) and
+the DuckDB oracle unrolls the same five steps as chained CTEs, with
+every per-iteration sum made order-independent by the registry's
+round-then-decimal-sum convention — so an ITERATIVE algorithm gets an
+exact cross-engine value hash.
+
+Scale shape: each iteration is one join (ranks ⋈ edges, keyed by src)
++ one hash-agg (keyed by dst) + one left join back onto the node list
+— identical to a Pregel superstep. Ranks are (node, double) pairs:
+tiny relative to edges, so at scale the edge table keeps a fixed
+partitioning and ranks shuffle to it each round. For long iteration
+counts, localCheckpoint every few rounds bounds lineage (five plans
+deep needs none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+_DAMP = 0.85
+_N_ITER = 5
+_N_NODES = 25  # nation is a fixed-size dimension
+
+
+def _sql_iter(prev: str, cur: str) -> str:
+    """One unrolled PageRank step in DuckDB SQL (mirrors the Spark
+    iteration expression-for-expression)."""
+    return f"""{cur} AS (
+  SELECT n.node,
+    ROUND({1 - _DAMP} / {_N_NODES} + {_DAMP} * COALESCE(c.contrib, 0.0), 12)
+      AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(SUM(CAST(ROUND(r.rank * e.w / o.ow, 12) AS DECIMAL(28,12)))
+           AS DOUBLE) AS contrib
+    FROM {prev} r
+    JOIN edges e ON e.src = r.node
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH nodes AS (
+  SELECT n_nationkey AS node FROM nation
+), edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1.0 / {_N_NODES} AS DOUBLE) AS rank FROM nodes
+),
+{",".join(_sql_iter(f"r{i}", f"r{i + 1}") for i in range(_N_ITER))}
+SELECT node, rank FROM r{_N_ITER}
+ORDER BY rank DESC, node
+"""
+
+
+@register("pagerank_trade_network", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative", "join"))
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 fixed iterations) over the nation trade
+    network: an edge supplier-nation → customer-nation per
+    (lineitem ⋈ orders) flow, weighted by flow count. Each iteration
+    is one lazy join+agg superstep — NO driver round-trips (contrast
+    kmeans, whose centroid argmin forces per-iteration collects); the
+    whole five-step computation is a single Catalyst plan.
+
+    Cross-engine determinism: per-edge contributions are rounded to
+    12 dp and summed exactly in decimal each iteration, so both
+    engines produce bit-identical ranks after every step.
+    """
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nodes = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+        # edges ⋈ out-weights reused every iteration: materialize once
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / _N_NODES).alias("rank"))
+    for _ in range(_N_ITER):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select(
+                F.col("dst").alias("cnode"),
+                F.round(F.col("rank") * F.col("w") / F.col("ow"), 12).alias(
+                    "term"
+                ),
+            )
+            .groupBy("cnode")
+            .agg(
+                F.sum(F.col("term").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["cnode"], "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit((1 - _DAMP) / _N_NODES)
+                + F.lit(_DAMP) * F.coalesce("contrib", F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node")
