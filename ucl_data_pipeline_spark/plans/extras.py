@@ -604,3 +604,118 @@ def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact90.alias("exact_p90"),
         within.alias("approx_within_2pct"),
     )
+
+
+_SCD2_ORACLE = """
+WITH v1 AS (
+  SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer
+),
+v2 AS (
+  SELECT c_custkey, c_name, ROUND(c_acctbal * 1.1, 2) AS c_acctbal, 2 AS version
+  FROM customer WHERE c_custkey % 3 = 0
+),
+unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT
+  c_custkey, c_name, c_acctbal, version AS valid_from_version,
+  COALESCE(
+    LEAD(version) OVER (PARTITION BY c_custkey ORDER BY version) - 1,
+    2147483647
+  ) AS valid_to_version,
+  LEAD(version) OVER (PARTITION BY c_custkey ORDER BY version) IS NULL
+    AS is_current
+FROM unioned
+"""
+
+
+@register("scd2_history", oracle=_SCD2_ORACLE, tags=("pipeline", "window"))
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: every key keeps its FULL
+    version history with [valid_from, valid_to) validity ranges and an
+    is_current flag — the warehouse-standard dimension history build
+    (contrast snapshot_upsert_latest, which is SCD-1 keep-latest).
+    One LEAD window over the same (key, version) shuffle; open-ended
+    current rows carry a sentinel high version.
+    """
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"))
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return v1.unionByName(v2).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("version").alias("valid_from_version"),
+        F.coalesce(nxt - 1, F.lit(2147483647)).alias("valid_to_version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+_CDC_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal FROM customer
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN ROUND(c_acctbal * 1.1, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT
+  COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+  o.c_acctbal AS old_bal,
+  n.c_acctbal AS new_bal,
+  CASE
+    WHEN o.c_custkey IS NULL THEN 'inserted'
+    WHEN n.c_custkey IS NULL THEN 'deleted'
+    WHEN o.c_acctbal <> n.c_acctbal THEN 'updated'
+    ELSE 'unchanged'
+  END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+@register("snapshot_diff_cdc", oracle=_CDC_DIFF_ORACLE, tags=("pipeline", "join"))
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two snapshot versions: one full
+    outer join on the key classifying every row inserted / deleted /
+    updated / unchanged — how a pipeline without database change
+    streams derives its delta feed (the input to SCD builds and
+    incremental downstream refreshes). One shuffle on the key; at
+    scale both snapshots are bucketed on it and the join is
+    exchange-free.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_acctbal")
+    new = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") * 1.1, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("o.c_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("deleted"))
+        .when(F.col("o.c_acctbal") != F.col("n.c_acctbal"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.col("o.c_acctbal").alias("old_bal"),
+        F.col("n.c_acctbal").alias("new_bal"),
+        change.alias("change_type"),
+    )
