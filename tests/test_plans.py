@@ -63,6 +63,25 @@ def test_all_queries_free_of_plan_smells(spark, sf_dir):
                 assert smell not in plan, (name, smell)
 
 
+def test_registered_outputs_atomic(spark, sf_dir):
+    # Registry convention (plans/registry.py docstring): a registered
+    # query's result schema contains only atomic columns — the driver
+    # canonicalizes with pandas sort_values/factorize, which cannot
+    # hash list cells, so an Array/Map/Struct output blinds the hard
+    # correctness signal even when values match. Serialize collections
+    # (concat_ws / to_json after array_sort) instead.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name in REGISTRY:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not complex_cols, (name, complex_cols)
+
+
 def test_python_stage_only_in_multimodal(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_feature_extract")
     assert "MapInPandas" in plan  # the sanctioned Arrow-batched escape hatch

@@ -228,7 +228,7 @@ SELECT
   event_id,
   CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
   CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-  list_sort(json_keys(props)) AS keys_sorted,
+  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
   CAST(2 * CAST(json_extract(props, '$.k') AS BIGINT) AS BIGINT) AS k_doubled
 FROM events
 """
@@ -240,8 +240,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``map<string,bigint>`` once, then element_at / map_keys /
     transform_values — the typed path for semi-structured event
     properties (vs re-parsing JSON per field). Map outputs are
-    projected to scalar/array columns so results stay hash-comparable
-    across engines.
+    projected to atomic columns only (sorted keys joined to one
+    string) so results stay hash-comparable across engines — the
+    driver's pandas canonicalizer cannot hash list cells.
     """
     ev = read_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
@@ -250,7 +251,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
 

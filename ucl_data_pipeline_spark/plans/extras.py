@@ -243,7 +243,7 @@ _COLLECT_ORACLE = """
 SELECT
   s_nationkey,
   COUNT(*) AS n_suppliers,
-  list_sort(list(s_name)) AS supplier_names
+  array_to_string(list_sort(list(s_name)), '|') AS supplier_names
 FROM supplier
 GROUP BY s_nationkey
 """
@@ -251,8 +251,9 @@ GROUP BY s_nationkey
 
 @register("collect_sorted_list", oracle=_COLLECT_ORACLE, tags=("agg", "array"))
 def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped list aggregation (collect_list → array column). The
-    explicit ``sort_array`` matters: distributed collect order is
+    """Grouped list aggregation (collect_list → sorted, then joined to
+    one delimited string: registered outputs must be atomic columns).
+    The explicit ``sort_array`` matters: distributed collect order is
     partition-dependent, so any downstream hash/compare needs the
     canonical ordering imposed here. Scale: list size is bounded by
     group fan-in — for unbounded groups prefer top-N-per-group
@@ -261,7 +262,7 @@ def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"),
-        F.sort_array(F.collect_list("s_name")).alias("supplier_names"),
+        F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias("supplier_names"),
     )
 
 

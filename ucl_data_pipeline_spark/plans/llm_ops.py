@@ -921,7 +921,7 @@ SELECT
   doc_id,
   CAST(len(toks) AS INTEGER) AS n_tokens,
   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
-  list_slice(toks, 1, 3) AS first3,
+  array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
   CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark,
   CAST(COALESCE(list_position(toks, 'spark'), 0) AS INTEGER) AS spark_pos,
   CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long_tokens,
@@ -944,7 +944,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
         F.array_contains(toks, "spark").cast("int").alias("has_spark"),
         F.array_position(toks, "spark").cast("int").alias("spark_pos"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),

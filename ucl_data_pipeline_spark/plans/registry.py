@@ -17,6 +17,15 @@ equality — Spark and DuckDB sum doubles in different orders):
 - Per-row transcendental math (haversine, cosine) differs in the last
   ulp between libm and the JVM; such outputs are wrapped in
   ``ROUND(x, 6)`` on both sides.
+- **Atomic output columns only**: a registered query's result schema
+  must contain no ArrayType / MapType / StructType column. The driver
+  canonicalizes results with pandas ``sort_values``/``factorize``,
+  which cannot hash list cells (``TypeError: unhashable type``), so an
+  array column makes the hard correctness signal blind even when the
+  values match. Serialize collections deterministically instead:
+  ``concat_ws``/``to_json`` after ``array_sort`` on the Spark side,
+  ``array_to_string(list_sort(...))``/``to_json`` in the oracle.
+  Enforced by tests/test_plans.py::test_registered_outputs_atomic.
 """
 
 from __future__ import annotations
@@ -66,61 +75,62 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-2 priority: the red round-1 row (fractional_odds), the two
-# rows-only rows upgraded to oracle-checked this round, every query whose
-# implementation changed this round, then the round-1-unchecked inventory
-# (slots 50-98 of CORRECTNESS_r01.json).
+# Round-3 priority: the four round-2 red rows (array outputs now
+# serialized to atomic columns — the fix itself needs a green driver row),
+# then the 34 queries that have never had a driver CORRECTNESS row (all
+# round-2-new modules: tpch2/tpch3, llm_ops2/llm_ops3, pagerank, SCD2/CDC,
+# interval join, text surface), then the two queries whose behavior
+# depends on round-2's normalize_names dedup change (ADVICE item:
+# dict_lookup_join / enrich_pipeline shipped without driver verification),
+# then round-3-new queries as they land.
 EXPORT_FIRST: tuple[str, ...] = (
-    "fractional_odds",
-    "simhash_signatures",
-    "approx_distinct_suppliers",
-    "bootstrap_priors",
-    "jaccard_shingle_pairs",
-    "conform_column_names_upper",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "shipping_priority_top10",
-    "local_supplier_volume",
-    "returned_items_top20",
-    "large_volume_customers",
-    "nation_trade_volume",
-    "nation_market_share",
-    "suppliers_who_kept_waiting",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "dedup_events_first",
-    "hypertable_rollup",
-    "json_props_extract",
+    # round-2 red rows, now with serialized array outputs
     "map_functions",
-    "funnel_analysis",
-    "kmeans_clusters",
-    "dedup_embedding_cosine",
-    "tfidf_top_terms",
     "array_functions",
-    "cohort_retention",
-    "rolling_anomaly_score",
-    "percentile_prices",
-    "stats_moments",
-    "pivot_status_counts",
-    "correlated_exists",
-    "scalar_subquery_filter",
-    "deterministic_sample",
     "collect_sorted_list",
-    "json_roundtrip",
-    "salted_skew_join",
-    "unpivot_metrics",
-    "global_quantile_buckets",
-    "data_quality_profile",
-    "snapshot_upsert_latest",
-    "stratified_sample",
-    "as_of_join",
-    "range_join_bands",
-    "gap_fill_daily",
-    "ntile_quartiles",
-    "forward_fill",
     "user_event_sequences",
-    "multimodal_binary_meta",
+    # never driver-checked: TPC-H shapes added in round 2
+    "min_cost_supplier",
+    "order_priority_check",
+    "important_part_value",
+    "promo_revenue_share",
+    "supplier_count_by_part",
+    "excess_share_suppliers",
+    "product_profit_by_nation",
+    "order_count_distribution",
+    "small_quantity_revenue",
+    "disjunctive_predicate_revenue",
+    "dormant_rich_customers",
+    # never driver-checked: LLM curation / ANN (llm_ops2 + llm_ops3)
+    "contamination_ngram_overlap",
+    "pack_sequences_greedy",
+    "repetition_score",
+    "unigram_entropy",
+    "bigram_lm_stats",
+    "vocab_coverage",
+    "embedding_sq8_topk",
+    "shingle_containment_pairs",
+    "url_normalize",
+    "domain_mixture_weights",
+    "boilerplate_chunk_removal",
+    "quality_filter_pipeline",
+    # never driver-checked: graph / warehouse / temporal / text
+    "pagerank_trade_network",
+    "scd2_history",
+    "snapshot_diff_cdc",
+    "view_click_interval_join",
+    "linear_interpolate",
+    "approx_percentile_bounded",
+    "string_functions",
+    "text_clean",
+    "pii_redaction",
+    # never driver-checked: rows-only-by-design multimodal Python stages
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    # normalize_names-dependent queries (round-2 enrich.py dedup change)
+    "dict_lookup_join",
+    "enrich_pipeline",
+    # round-3 additions get slots here as they land
 )
 
 

@@ -256,8 +256,10 @@ _SEQ_ORACLE = """
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  list(event_type ORDER BY ts, event_id) AS event_seq,
-  list(event_id ORDER BY ts, event_id)[1:5] AS first5_ids
+  array_to_string(list(event_type ORDER BY ts, event_id), ',') AS event_seq,
+  array_to_string(
+    list_transform(list(event_id ORDER BY ts, event_id)[1:5],
+                   x -> CAST(x AS VARCHAR)), ',') AS first5_ids
 FROM events
 GROUP BY user_id
 """
@@ -267,7 +269,8 @@ GROUP BY user_id
 def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity ordered event sequences (the behavioral-sequence
     construction step of a training pipeline): collect structs, sort
-    once by (ts, id), project the ordered fields out — explicit
+    once by (ts, id), project the ordered fields out joined to
+    delimited strings (atomic output columns only) — explicit
     ordering because distributed collect order is partition-dependent.
     Scale: one shuffle on the entity key; sequences bounded by per-user
     fan-in (cap with a window top-N first when heavy-hitter users
@@ -277,8 +280,11 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.transform(seq, lambda s: s["event_type"]).alias("event_seq"),
-        F.slice(F.transform(seq, lambda s: s["event_id"]), 1, 5).alias("first5_ids"),
+        F.concat_ws(",", F.transform(seq, lambda s: s["event_type"])).alias("event_seq"),
+        F.concat_ws(
+            ",",
+            F.slice(F.transform(seq, lambda s: s["event_id"].cast("string")), 1, 5),
+        ).alias("first5_ids"),
     )
 
 
