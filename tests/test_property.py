@@ -85,7 +85,7 @@ def test_fractional_odds_matches_python_model(spark, batch):
 
 @settings(**SETTINGS)
 @given(
-    st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=60),
+    st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=60),
     st.sampled_from([7, 20, 100, 4096]),
 )
 def test_knuth_bucket_matches_python_model(spark, keys, m):

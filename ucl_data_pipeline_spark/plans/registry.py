@@ -187,8 +187,16 @@ def sql_davg(expr: str) -> str:
 
 def sql_knuth_bucket(expr: str, m: int) -> str:
     """DuckDB spelling of functions.scalar.knuth_bucket (width-safe
-    Knuth multiplicative hash bucket — see its docstring)."""
-    k = f"({expr} % 4294967296)"
+    Knuth multiplicative hash bucket — see its docstring).
+
+    The first modulo is pmod-wrapped: DuckDB ``%`` keeps the dividend's
+    sign while Spark ``pmod`` is always non-negative, so a bare ``%``
+    diverges for negative keys (key -7: DuckDB -3 vs Spark 13 at m=20).
+    After the wrap every intermediate is non-negative, so the remaining
+    plain ``%`` are identical on both engines over the full 64-bit
+    signed domain.
+    """
+    k = f"((({expr}) % 4294967296 + 4294967296) % 4294967296)"
     return (
         f"((((({k} // 65536) * 2654435761) % 4294967296) * 65536"
         f" + ({k} % 65536) * 2654435761) % 4294967296) % {m}"

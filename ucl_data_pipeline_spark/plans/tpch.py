@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import DEC, register
 from ucl_data_pipeline_spark.sources.io import read_table
 
 _REV_SQL = (
@@ -220,12 +220,13 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
-    # Quantities are integral, so a long sum is exact AND
-    # order-independent — same determinism as the decimal convention at
-    # ~25% less agg cost (the one big hash-agg dominates this query).
+    # Decimal sum, not cast('long'): a long cast truncates fractional
+    # quantities toward zero, silently shifting HAVING>150 membership —
+    # the oracle sums DECIMAL(18,6). Decimal addition is still exact
+    # and order-independent (registry convention).
     big_orders = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
         .filter(F.col("qty") > 150)
     )
     return (

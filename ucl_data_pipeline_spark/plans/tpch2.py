@@ -128,7 +128,11 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     slow = o.join(
         l,
         (o["o_orderkey"] == l["l_orderkey"])
-        & (l["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+        # interval add, not date_add: date_add truncates to DATE
+        # (midnight), which only matches the oracle's
+        # o_orderdate + INTERVAL 60 DAY because testdata orderdates
+        # happen to be midnight — the interval form is exact always.
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return (

@@ -177,6 +177,20 @@ def conform_column_names(df: DataFrame, case: str = "upper") -> DataFrame:
         names = [c.lower() for c in df.columns]
     else:
         raise ValueError(f"case must be 'upper' or 'lower', got {case!r}")
+    # Input names differing only by case would silently map to duplicate
+    # output names, making every later reference ambiguous at analysis
+    # time, far from the cause — fail here and name the colliders.
+    seen: dict[str, str] = {}
+    collisions = []
+    for old, new in zip(df.columns, names):
+        if new in seen:
+            collisions.append(f"{seen[new]!r}/{old!r} -> {new!r}")
+        else:
+            seen[new] = old
+    if collisions:
+        raise ValueError(
+            "conform_column_names case collision(s): " + ", ".join(collisions)
+        )
     return df.toDF(*names)
 
 
