@@ -237,7 +237,7 @@ def test_contamination_fraction_bounds(spark):
 
 
 def test_sq8_topk_structure_and_recall(spark):
-    from ucl_data_pipeline_spark.plans.llm_ops import embedding_topk_cosine
+    from ucl_data_pipeline_spark.plans.llm_ops import embedding_ivf_topk
     from ucl_data_pipeline_spark.plans.llm_ops3 import embedding_sq8_topk
 
     sq = embedding_sq8_topk(spark, SF).collect()
@@ -248,22 +248,26 @@ def test_sq8_topk_structure_and_recall(spark):
         assert len(rows) == 3
         sims = [r.cos_sim for r in sorted(rows, key=lambda r: -r.cos_sim)]
         assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
-    # 8-bit quantization is near-lossless at this dim: the top-1
-    # neighbor must match the exact brute-force top-1 per query
-    exact = embedding_topk_cosine(spark, SF).collect()
-    exact_top1 = {}
-    for r in exact:
-        cur = exact_top1.get(r.query_id)
+    # IVF+SQ8 prunes candidates exactly like embedding_ivf_topk (same
+    # coarse quantizer, nprobe=1); SQ8 only compresses the within-list
+    # scan and the re-rank is exact — so its top-1 must match the IVF
+    # exact search's top-1, not whole-corpus brute force (which would
+    # measure the list-pruning recall, a different property).
+    ivf = embedding_ivf_topk(spark, SF).collect()
+    ivf_top1 = {}
+    for r in ivf:
+        cur = ivf_top1.get(r.query_id)
         if cur is None or r.cos_sim > cur[1]:
-            exact_top1[r.query_id] = (r.neighbor_id, r.cos_sim)
+            ivf_top1[r.query_id] = (r.neighbor_id, r.cos_sim)
     sq_top1 = {}
     for r in sq:
         cur = sq_top1.get(r.query_id)
         if cur is None or r.cos_sim > cur[1]:
             sq_top1[r.query_id] = (r.neighbor_id, r.cos_sim)
-    assert set(sq_top1) == set(exact_top1)
-    agree = sum(sq_top1[q][0] == exact_top1[q][0] for q in sq_top1)
-    assert agree >= len(sq_top1) - 1  # allow one borderline flip
+    assert set(sq_top1) == set(ivf_top1)
+    agree = sum(sq_top1[q][0] == ivf_top1[q][0] for q in sq_top1)
+    assert agree >= len(sq_top1) - 1  # one flip allowed: quantized
+    # shortlist can miss a borderline within-list top-1
 
 
 def test_containment_dominates_jaccard(spark):

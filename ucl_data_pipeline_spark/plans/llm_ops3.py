@@ -34,7 +34,17 @@ _SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 _SQ8_ORACLE = """
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT label, list(centroid_val ORDER BY pos) AS cvec
+  FROM (
+    SELECT e.label, i AS pos,
+           CAST(SUM(CAST(e.emb[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS centroid_val
+    FROM e, unnest(generate_series(1, len(e.emb))) AS t(i)
+    GROUP BY e.label, i
+  )
+  GROUP BY label
 ), stats AS (
   SELECT i AS pos, MIN(emb[i]) AS mn, MAX(emb[i]) AS mx
   FROM e, unnest(generate_series(1, len(emb))) AS t(i)
@@ -43,7 +53,7 @@ WITH e AS (
   SELECT list(mn ORDER BY pos) AS mn_arr, list(mx ORDER BY pos) AS mx_arr
   FROM stats
 ), deq AS (
-  SELECT e.vec_id, e.emb,
+  SELECT e.vec_id, e.label, e.emb,
     list_transform(generate_series(1, len(e.emb)), i ->
       CASE WHEN g.mx_arr[i] - g.mn_arr[i] = 0 THEN g.mn_arr[i]
            ELSE g.mn_arr[i]
@@ -53,15 +63,27 @@ WITH e AS (
                   * (g.mx_arr[i] - g.mn_arr[i]) / 256.0
       END) AS deq
   FROM e CROSS JOIN grid g
-), approx AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         q.emb AS q_emb, c.emb AS c_emb,
-         list_dot_product(q.emb, c.deq)
-           / nullif(sqrt(list_dot_product(q.emb, q.emb))
-                    * sqrt(list_dot_product(c.deq, c.deq)), 0.0) AS approx_sim
-  FROM deq q JOIN deq c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+), probe AS (
+  SELECT q.vec_id AS query_id, q.emb AS q_emb, c.label AS probe_label
+  FROM e q CROSS JOIN cent c
+  WHERE q.vec_id % 100 = 0
   QUALIFY row_number() OVER (
-    PARTITION BY q.vec_id ORDER BY approx_sim DESC, c.vec_id) <= 10
+    PARTITION BY q.vec_id
+    ORDER BY list_dot_product(q.emb, c.cvec)
+               / nullif(sqrt(list_dot_product(q.emb, q.emb))
+                        * sqrt(list_dot_product(c.cvec, c.cvec)), 0.0) DESC,
+             c.label
+  ) = 1
+), approx AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         p.q_emb, c.emb AS c_emb,
+         list_dot_product(p.q_emb, c.deq)
+           / nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))
+                    * sqrt(list_dot_product(c.deq, c.deq)), 0.0) AS approx_sim
+  FROM probe p
+  JOIN deq c ON c.label = p.probe_label AND c.vec_id <> p.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY p.query_id ORDER BY approx_sim DESC, c.vec_id) <= 10
 )
 SELECT query_id, neighbor_id,
        list_dot_product(q_emb, c_emb)
@@ -75,23 +97,47 @@ QUALIFY row_number() OVER (
 
 @register("embedding_sq8_topk", oracle=_SQ8_ORACLE, tags=("vector", "llm"))
 def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 (8-bit scalar quantization) ANN: the first-pass similarity
+    """IVF + SQ8 ANN: the coarse quantizer (per-label centroids, as in
+    ``embedding_ivf_topk``) assigns each query to its nearest inverted
+    list (nprobe=1); inside the probed list the first-pass similarity
     scans bin-center reconstructions of uint8 codes — 4-8x less memory
-    bandwidth than raw floats, the standard compressed-scan companion
-    to IVF — keeps the top-10 per query, then re-ranks with exact
-    cosine to top-3.
+    bandwidth than raw floats — keeps top-10, then re-ranks with exact
+    cosine to top-3. This is the standard composition: IVF prunes the
+    candidate set to |list|, SQ8 compresses the within-list scan.
 
-    Scale shape: the quantization grid is a 1-row broadcast (per-dim
-    min/max — one agg pass); codes are computed scan-side; the approx
-    pass is the only O(n·queries) stage and touches compressed values
-    only. Cross-engine: identical IEEE expression order both sides, so
-    ranking and values hash-match exactly.
+    (The previous standalone form SQ8-scored every (query, corpus) pair
+    — O(n·queries) regardless of compression; the round-2 scale smoke
+    measured 5.7x wall at 10x data. Composed with IVF pruning the
+    per-query work is |list|, not n.)
+
+    Scale shape: centroids and the quantization grid are tiny broadcast
+    aggregates (one pass each); codes are computed scan-side; the probed
+    list id is the candidate-join key, so lists can be partition keys of
+    the embedding table at 100 TB. Cross-engine: identical IEEE
+    expression order both sides, so ranking and values hash-match.
     """
     from ucl_data_pipeline_spark.sources.io import fan_out
 
     e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VX.as_double("embedding").alias("emb")
+        "vec_id", "label", VX.as_double("embedding").alias("emb")
     )
+    # Coarse quantizer: element-wise exact-decimal centroid per label.
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count("*"))
+            .alias("centroid_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cvec")
+        )
+    )
+    # SQ8 grid: per-dimension global [min, max], one agg pass.
     stats = (
         e.select(F.posexplode("emb").alias("pos0", "val"))
         .groupBy("pos0")
@@ -135,14 +181,24 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     deq = fan_out(e).crossJoin(F.broadcast(grid)).select(
-        "vec_id", "emb", dequant(F.col("emb")).alias("deq")
+        "vec_id", "label", "emb", dequant(F.col("emb")).alias("deq")
     )
-    q = deq.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
+    # nprobe=1 list assignment per query against the broadcast codebook.
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        VX.cosine("q_emb", "cvec").desc(), F.col("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
     )
     c = deq.select(
         F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
         F.col("emb").alias("c_emb"),
         F.col("deq").alias("c_deq"),
     )
@@ -154,7 +210,11 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_sim").desc(), F.col("neighbor_id")
     )
     shortlist = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        c.join(
+            F.broadcast(probe),
+            (F.col("c_label") == F.col("probe_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
         .select("query_id", "neighbor_id", "q_emb", "c_emb", approx_sim.alias("approx_sim"))
         .withColumn("rn", F.row_number().over(w10))
         .filter(F.col("rn") <= 10)
