@@ -49,3 +49,25 @@ def test_kmeans_improves_on_init(spark, sf_dir):
         .agg(F.sum("d")).collect()[0][0]
     )
     assert final_inertia <= init_inertia
+
+
+def test_kmeans_assign_partitions_corpus(spark, sf_dir):
+    # The oracle-checked Lloyd step: every point lands in exactly one
+    # cluster, cluster ids are the K fixed centers, and the per-cluster
+    # counts are constant across dimensions (the agg is keyed by
+    # (cluster, dim) over one assignment).
+    from ucl_data_pipeline_spark.plans.clustering import kmeans_assign
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = kmeans_assign(spark, sf_dir).collect()
+    n_vecs = read_table(spark, sf_dir, "embeddings").count()
+    dims = {r.pos for r in rows}
+    clusters = {r.cluster_id for r in rows}
+    assert clusters <= set(range(K))
+    # counts per cluster identical for every dimension
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.n_points)
+    assert all(len(counts) == 1 for counts in by_cluster.values())
+    assert sum(next(iter(c)) for c in by_cluster.values()) == n_vecs
+    assert len(dims) * len(clusters) == len(rows)

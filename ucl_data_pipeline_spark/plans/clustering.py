@@ -140,6 +140,82 @@ def _kmeans_parallel_init(pts: DataFrame, k: int) -> list[list[float]]:
     return picked
 
 
+_ASSIGN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {K}
+), dist AS (
+  SELECT e.vec_id, e.emb, c.cid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(generate_series(1, len(e.emb)),
+               i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
+           (a, b) -> a + b) AS d2
+  FROM e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, emb, cid
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+SELECT
+  CAST(a.cid AS INTEGER) AS cluster_id,
+  CAST(i - 1 AS INTEGER) AS pos,
+  COUNT(*) AS n_points,
+  ROUND(CAST(SUM(CAST(a.emb[i] AS DECIMAL(18,9))) AS DOUBLE)
+    / COUNT(*), 6) AS mean_val
+FROM assigned a, unnest(generate_series(1, len(a.emb))) AS t(i)
+GROUP BY a.cid, i
+"""
+
+
+@register("kmeans_assign", oracle=_ASSIGN_ORACLE, tags=("vector", "llm", "agg"))
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracle-checked Lloyd step: fixed deterministic centers (the
+    embeddings of vec_id 0..K-1) → argmin assignment → per-cluster
+    per-dimension exact-decimal means. ``kmeans_clusters`` itself stays
+    rows-only (driver-coordinated iteration), but this hash-matches the
+    step every iteration is made of — the same treatment pagerank gives
+    its supersteps via unrolled CTEs.
+
+    Cross-engine determinism of the argmin: d2 is a left fold from 0.0
+    over per-dimension squared diffs — bit-identical IEEE operation
+    order on both engines (DuckDB ``list_reduce(list_prepend(0.0, …))``
+    mirrors ``F.aggregate(…, lit(0.0), +)``) — and ties break toward
+    the lowest center id on both sides.
+
+    Scale shape: identical to the production Lloyd iteration — centers
+    are k×dim literals in a NARROW projection (no crossJoin of points
+    with centers, no shuffle for assignment), then ONE hash-agg keyed by
+    (cluster, dimension); the k-row center collect is the same tiny
+    driver pull kmeans_clusters performs per iteration.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double("embedding").alias("embedding")
+    )
+    centers = [
+        list(r.embedding)
+        for r in e.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    d = _dists(centers)
+    assigned = e.select(
+        (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster_id"),
+        "embedding",
+    )
+    return (
+        assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+        )
+    )
+
+
 @register("kmeans_clusters", oracle=None, tags=("vector", "llm", "iterative"))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (k=8, k-means|| init, 5 Lloyd iterations) over the

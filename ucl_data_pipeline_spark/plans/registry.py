@@ -131,6 +131,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "dict_lookup_join",
     "enrich_pipeline",
     # round-3 additions get slots here as they land
+    "kmeans_assign",
 )
 
 
