@@ -154,3 +154,119 @@ def test_clamp_with_midpoint_bounds_and_coercion(spark, vals):
         except (TypeError, ValueError):
             x = (lo + hi) / 2.0  # unparseable -> midpoint
         assert math.isclose(c, min(hi, max(lo, x)), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# parse_date_multi vs a Python dayfirst model
+# ---------------------------------------------------------------------------
+
+def _py_parse_date_multi(s: str | None):
+    """Model of parse_date_multi's coalesce over (d/M/yy, d/M/yyyy,
+    yyyy-MM-dd): a format whose SHAPE matches but whose calendar date is
+    invalid falls through to the next format (Spark try_to_timestamp →
+    NULL → coalesce). Java 'yy' is a reduced value with base 2000
+    (00→2000 … 99→2099) — NOT Python strptime's 1969 pivot."""
+    import re
+    from datetime import date
+
+    if s is None:
+        return None
+    for pat, build in (
+        (r"(\d{1,2})/(\d{1,2})/(\d{2})",
+         lambda m: (2000 + int(m[3]), int(m[2]), int(m[1]))),
+        (r"(\d{1,2})/(\d{1,2})/(\d{4})",
+         lambda m: (int(m[3]), int(m[2]), int(m[1]))),
+        (r"(\d{4})-(\d{1,2})-(\d{1,2})",
+         lambda m: (int(m[1]), int(m[2]), int(m[3]))),
+    ):
+        m = re.fullmatch(pat, s.strip())
+        if m:
+            y, mo, d = build(m)
+            try:
+                return date(y, mo, d)
+            except ValueError:
+                continue  # shape matched, date invalid → next format
+    return None
+
+
+date_strategy = st.one_of(
+    st.builds(
+        lambda d, m, y: f"{d}/{m}/{y:02d}",
+        st.integers(1, 31), st.integers(1, 13), st.integers(0, 99),
+    ),
+    st.builds(
+        lambda d, m, y: f"{d:02d}/{m:02d}/{y}",
+        st.integers(1, 31), st.integers(1, 13), st.integers(1990, 2030),
+    ),
+    st.builds(
+        lambda d, m, y: f"{y}-{m:02d}-{d:02d}",
+        st.integers(1, 31), st.integers(1, 13), st.integers(1990, 2030),
+    ),
+    st.sampled_from(["29/02/24", "29/02/23", "31/04/2021", "not a date",
+                     "2021-02-29", "2024-02-29", "1/1/1", ""]),
+    st.none(),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(date_strategy, min_size=1, max_size=60))
+def test_parse_date_multi_matches_python_model(spark, batch):
+    from ucl_data_pipeline_spark.functions.scalar import parse_date_multi
+
+    df = spark.createDataFrame([(s,) for s in batch], "raw: string")
+    got = [r.d for r in df.select(parse_date_multi("raw").alias("d")).collect()]
+    want = [_py_parse_date_multi(s) for s in batch]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# haversine_km vs a Python math model
+# ---------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-89, 89, allow_nan=False),
+            st.floats(-179, 179, allow_nan=False),
+            st.floats(-89, 89, allow_nan=False),
+            st.floats(-179, 179, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_haversine_matches_python_model(spark, quads):
+    from hypothesis import assume
+
+    from ucl_data_pipeline_spark.functions.scalar import haversine_km
+
+    # Skip near-antipodal pairs: there the argument of asin is 1±1ulp and
+    # libm-vs-JVM last-ulp differences flip between ~20015 km and NaN —
+    # a float-boundary artifact, not an engine-semantics property.
+    for lat1, lon1, lat2, lon2 in quads:
+        a = (
+            math.sin(math.radians(lat2 - lat1) / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+        )
+        assume(a < 1.0 - 1e-9)
+    df = spark.createDataFrame(
+        quads, "lat1: double, lon1: double, lat2: double, lon2: double"
+    )
+    got = [
+        r.km
+        for r in df.select(
+            haversine_km("lat1", "lon1", "lat2", "lon2").alias("km")
+        ).collect()
+    ]
+    for (lat1, lon1, lat2, lon2), km in zip(quads, got):
+        a = (
+            math.sin(math.radians(lat2 - lat1) / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+        )
+        want = 2.0 * 6371.0 * math.asin(min(1.0, math.sqrt(a)))
+        assert math.isclose(km, want, rel_tol=1e-9, abs_tol=1e-6)
