@@ -397,3 +397,18 @@ def test_pagerank_properties(spark):
     assert sum(ranks) > (1 - _DAMP)  # teleport mass alone is preserved
     # output is sorted by rank desc
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_q18_quantity_fits_decimal_8_2(spark, sf_dir):
+    # Guards large_volume_customers' DECIMAL(8,2) quantity sum: every
+    # l_quantity must be exactly representable at scale 2 and below the
+    # 10^6 precision bound, or the narrow cast would silently round.
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    l = read_table(spark, sf_dir, "lineitem")
+    bad = l.filter(
+        (F.col("l_quantity") * 100 != F.round(F.col("l_quantity") * 100, 0))
+        | (F.col("l_quantity") >= 1_000_000)
+        | (F.col("l_quantity") < 0)
+    ).count()
+    assert bad == 0
