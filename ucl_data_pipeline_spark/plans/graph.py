@@ -132,3 +132,99 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.orderBy(F.col("rank").desc(), "node")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-superstep BFS (multi-source shortest hops)
+# ---------------------------------------------------------------------------
+
+_BFS_ITER = 4
+
+
+def _sql_bfs_iter(prev: str, cur: str) -> str:
+    """One unrolled BFS relaxation step in DuckDB SQL (mirrors the
+    Spark iteration): hops_{i+1}(n) = min(hops_i(n), 1 + min over
+    in-edges of hops_i(src)). All-integer arithmetic — exact on any
+    engine by construction."""
+    return f"""{cur} AS (
+  SELECT d.node,
+    CASE WHEN d.hops IS NULL THEN c.cand
+         WHEN c.cand IS NULL THEN d.hops
+         ELSE LEAST(d.hops, c.cand) END AS hops
+  FROM {prev} d LEFT JOIN (
+    SELECT e.dst AS cnode, MIN(p.hops) + 1 AS cand
+    FROM {prev} p
+    JOIN bedges e ON e.src = p.node
+    WHERE p.hops IS NOT NULL
+    GROUP BY e.dst
+  ) c ON c.cnode = d.node
+)"""
+
+
+_BFS_ORACLE = f"""
+WITH bedges AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), d0 AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_regionkey = 0 THEN 0 END AS hops
+  FROM nation
+),
+{",".join(_sql_bfs_iter(f"d{i}", f"d{i + 1}") for i in range(_BFS_ITER))}
+SELECT node, CAST(hops AS INTEGER) AS hops FROM d{_BFS_ITER}
+"""
+
+
+@register("bfs_reach_hops", oracle=_BFS_ORACLE, tags=("graph", "iterative", "join"))
+def bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS ({N} fixed supersteps) over the distinct trade
+    edges: minimum hop count from the region-0 nations to every nation;
+    NULL hops = unreached within {N}. Like pagerank_trade_network the
+    whole computation is ONE lazy Catalyst plan (no driver round-trips)
+    and the oracle unrolls the identical supersteps as chained CTEs —
+    but here the state is integral, so cross-engine exactness needs no
+    float conventions at all.
+
+    Scale shape: each superstep is one join (frontier ⋈ edges, keyed by
+    src) + one min-agg (keyed by dst) + one left join back to the node
+    list — a Pregel superstep; distances are one int per node, tiny
+    next to edges, which keep a fixed partitioning across rounds. For
+    long diameters, localCheckpoint every few supersteps bounds
+    lineage (four plans deep needs none).
+    """
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    d = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_regionkey") == 0, F.lit(0)).alias("hops"),
+    )
+    for _ in range(_BFS_ITER):
+        cand = (
+            d.filter(F.col("hops").isNotNull())
+            .join(edges, d["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg((F.min("hops") + 1).alias("cand"))
+        )
+        d = d.join(cand, d["node"] == cand["cnode"], "left").select(
+            "node",
+            F.when(F.col("hops").isNull(), F.col("cand"))
+            .when(F.col("cand").isNull(), F.col("hops"))
+            .otherwise(F.least("hops", "cand"))
+            .alias("hops"),
+        )
+    return d.select("node", F.col("hops").cast("int").alias("hops"))

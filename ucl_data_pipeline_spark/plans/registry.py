@@ -132,6 +132,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "enrich_pipeline",
     # round-3 additions get slots here as they land
     "kmeans_assign",
+    "doc_chunk_windows",
+    "train_val_test_split",
+    "mixture_resample",
+    "embedding_pq_topk",
+    "bfs_reach_hops",
 )
 
 
