@@ -19,6 +19,7 @@ from ucl_data_pipeline_spark.plans import llm_ops2  # noqa: F401
 from ucl_data_pipeline_spark.plans import tpch2  # noqa: F401
 from ucl_data_pipeline_spark.plans import llm_ops3  # noqa: F401
 from ucl_data_pipeline_spark.plans import llm_ops4  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras2  # noqa: F401
 from ucl_data_pipeline_spark.plans import tpch3  # noqa: F401
 from ucl_data_pipeline_spark.plans import graph  # noqa: F401
 

@@ -1,0 +1,252 @@
+"""Round-3 analytics surface extensions: gaps-and-islands
+sessionization, fixed-width histograms, the explicit window-frame
+function surface, and an order-independent table checksum.
+
+All pure Catalyst expressions with exact DuckDB oracles under the
+registry's determinism conventions. Each operator is a shape the
+reference's users run in a warehouse even though the reference itself
+has no equivalent (SURVEY.md §2 analytics gap-fills, same status as
+plans.extras).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands sessionization (window algebra, not session_window)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap, microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_gaps_islands", oracle=_SESSIONIZE_ORACLE, tags=("temporal", "window", "agg"))
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization as pure window algebra (the gaps-and-islands
+    idiom): flag rows whose gap from the previous event exceeds 30 min,
+    running-sum the flags into a session index, aggregate per (user,
+    session). The same semantics as the session_window operator, built
+    from lag + cumulative sum instead — the form that composes with
+    arbitrary extra window columns. Gap arithmetic is integral
+    microseconds (epoch_us both sides), so no float conventions needed.
+
+    Scale: one shuffle on user_id shared by both windows and the final
+    aggregation (same partitioning — Catalyst reuses the exchange).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0).alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(cum).alias("session_idx")
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+_HIST_WIDTH = 25_000.0  # o_totalprice bins: [0, 500k) in 25k steps
+
+_HIST_ORACLE = f"""
+SELECT
+  CAST(LEAST({_HIST_BINS - 1},
+             GREATEST(0, FLOOR(o_totalprice / {_HIST_WIDTH}))) AS INTEGER)
+    AS bin,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("histogram_fixed_bins", oracle=_HIST_ORACLE, tags=("agg",))
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 bins of 25k, edges
+    clamped): the equi-WIDTH companion to global_quantile_buckets'
+    equi-DEPTH buckets. Binning is a scan-side projection (floor of a
+    division — identical IEEE op both engines); one hash-agg with
+    map-side partial aggregation, output bounded by bin count — the
+    histogram shape that costs one scan regardless of data volume.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.lit(_HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / _HIST_WIDTH)),
+    ).cast("int")
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit window-frame function surface
+# ---------------------------------------------------------------------------
+
+_FRAME_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  first_value(value) OVER w5 AS first_in_frame,
+  last_value(value) OVER w5 AS last_in_frame,
+  nth_value(value, 2) OVER w5 AS second_in_frame,
+  CAST(COUNT(value) OVER w5 AS BIGINT) AS n_in_frame,
+  first_value(value) OVER wrun AS first_so_far
+FROM events
+WINDOW
+  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+  wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("window_frame_surface", oracle=_FRAME_ORACLE, tags=("window",))
+def window_frame_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value / count over an explicit
+    centered ROWS frame plus a running frame — the frame-boundary
+    corner of the window surface (rank/lag/lead/ntile and frame
+    aggregates are covered by the §2.5 queries; this pins the
+    value-positional functions, whose defaults differ subtly across
+    engines: both sides state frames explicitly so semantics are
+    unambiguous). Deterministic: total order (ts, event_id) within
+    every frame.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w5).alias("first_in_frame"),
+        F.last("value").over(w5).alias("last_in_frame"),
+        F.nth_value("value", 2).over(w5).alias("second_in_frame"),
+        F.count("value").over(w5).alias("n_in_frame"),
+        F.first("value").over(wrun).alias("first_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum
+# ---------------------------------------------------------------------------
+
+_CK_COLS_SQL = (
+    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_returnflag, "
+    "l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))"
+)
+
+_CHECKSUM_ORACLE = f"""
+WITH h AS (
+  SELECT md5({_CK_COLS_SQL}) AS hx FROM lineitem
+), v AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(generate_series(1, 15),
+      i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT))),
+    (a, b) -> a * 16 + b) AS rowv
+  FROM h
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(rowv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+FROM v
+"""
+
+
+@register("checksum_table", oracle=_CHECKSUM_ORACLE, tags=("agg", "validate"))
+def checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: md5 of a canonical per-row
+    string (int/string/date columns only — float formatting is not
+    canonical across engines), folded to a 60-bit integer (15 hex
+    nibbles, left fold acc·16+nibble — the overflow-free width), summed
+    exactly in DECIMAL(38,0). Two tables match iff (n_rows, checksum)
+    match, regardless of row order or partitioning — the cheap
+    cross-system integrity check a 100 TB migration runs after every
+    copy: one scan, map-side partial sums, a single-row result, no
+    shuffle of data.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    # fan_out: the driver parquet is one row group, and the md5 fold is
+    # the rare CPU-bound projection where a single partition is the
+    # bottleneck (A/B at sf0.1: 24.3 s single-partition, 4.7 s fanned;
+    # conv() below instead of a 15-step nibble fold: 1.2 s).
+    l = fan_out(read_table(spark, sf_dir, "lineitem"))
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    hx = F.md5(canon)
+    # conv(hex, 16, 10) is the JVM fast path for the same 60-bit value
+    # the oracle derives with its nibble fold (DuckDB has no conv).
+    rowv = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    return l.select(rowv.alias("rowv")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("rowv").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
+    )

@@ -137,6 +137,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "mixture_resample",
     "embedding_pq_topk",
     "bfs_reach_hops",
+    "sessionize_gaps_islands",
+    "histogram_fixed_bins",
+    "checksum_table",
+    "window_frame_surface",
 )
 
 
