@@ -250,3 +250,176 @@ def checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT p_brand, p_type AS mode_type, n
+FROM (
+  SELECT p_brand, p_type, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY COUNT(*) DESC, p_type) AS rn
+  FROM part
+  GROUP BY p_brand, p_type
+)
+WHERE rn = 1
+"""
+
+
+@register("mode_per_group", oracle=_MODE_ORACLE, tags=("agg", "window"))
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent p_type per brand,
+    lowest-value tie-break): count agg + one row_number window over the
+    counts. Deterministic by construction (explicit tie-break — an
+    engine-native ``mode()`` would be free to pick either). Scale: the
+    window runs over the AGGREGATED (brand, type) table, never the base
+    rows, so its input is bounded by group-domain cardinality.
+    """
+    p = read_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), "p_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) per brand
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("pareto_frontier_parts", oracle=_PARETO_ORACLE, tags=("window", "join"))
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D Pareto frontier (cheaper price, larger size): the
+    parts no same-brand part dominates. The ORACLE states the semantics
+    as the quadratic NOT EXISTS; the engine computes it as the
+    O(n log n) sorted sweep — per (brand, price) level take the max
+    size, running-max those levels by ascending price, and a part is
+    dominated iff a STRICTLY cheaper level reaches its size (prefix
+    running max shifted by one level) or a same-price part is strictly
+    larger. Scale: two hash-aggs + two windows partitioned by brand —
+    no self-join, no quadratic pair blowup; compare the oracle's
+    EXISTS, which is the textbook formulation and the scale trap.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    # Max size at each exact price level, per brand.
+    levels = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("level_max")
+    )
+    lvl_w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    run = levels.select(
+        "p_brand",
+        "p_retailprice",
+        "level_max",
+        # running max over levels up to and including this price, then
+        # shifted one level back -> max size among STRICTLY cheaper rows
+        F.lag(
+            F.max("level_max").over(
+                lvl_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        .over(lvl_w)
+        .alias("cheaper_max"),
+    )
+    return (
+        p.join(run, ["p_brand", "p_retailprice"])
+        .filter(
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+            & (F.col("level_max") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-level near-dup pairs (edit distance within blocks)
+# ---------------------------------------------------------------------------
+
+_FUZZY_PREFIX = 16
+_FUZZY_HEAD = 120
+_FUZZY_MAXDIST = 8
+
+_FUZZY_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), b AS (
+  SELECT doc_id, norm,
+         substr(norm, 1, {_FUZZY_PREFIX}) AS blk_prefix,
+         len(norm) // 20 AS blk_len
+  FROM n
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.norm, 1, {_FUZZY_HEAD}),
+                        substr(c.norm, 1, {_FUZZY_HEAD})) AS INTEGER) AS edit_dist
+FROM b a
+JOIN b c ON a.blk_prefix = c.blk_prefix AND a.blk_len = c.blk_len
+        AND a.doc_id < c.doc_id
+WHERE levenshtein(substr(a.norm, 1, {_FUZZY_HEAD}),
+                  substr(c.norm, 1, {_FUZZY_HEAD})) <= {_FUZZY_MAXDIST}
+"""
+
+
+@register("dedup_fuzzy_edit_distance", oracle=_FUZZY_ORACLE, tags=("text", "llm", "join"))
+def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup mining: candidate pairs blocked on
+    (16-char normalized prefix, length/20 bucket) — an equi-join, never
+    all-pairs — then Levenshtein distance on the 120-char head filters
+    to pairs within 8 edits. The character-level complement to the
+    token-level families (MinHash/SimHash/Jaccard): catches small typo
+    edits that leave whole tokens intact. Scale: block keys bound the
+    candidate set like LSH bands; the distance (quadratic in string
+    length) runs on fixed-length heads only, keeping per-pair cost
+    constant.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    b = d.select(
+        "doc_id",
+        F.substring(norm, 1, _FUZZY_HEAD).alias("head"),
+        F.substring(norm, 1, _FUZZY_PREFIX).alias("blk_prefix"),
+        F.floor(F.length(norm) / 20).alias("blk_len"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        "blk_prefix",
+        "blk_len",
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.col("blk_prefix").alias("bp2"),
+        F.col("blk_len").alias("bl2"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(
+            c,
+            (F.col("blk_prefix") == F.col("bp2"))
+            & (F.col("blk_len") == F.col("bl2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(dist <= _FUZZY_MAXDIST)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
+    )
