@@ -423,3 +423,60 @@ def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= _FUZZY_MAXDIST)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-state merge)
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = "2024-01-21 00:00:00"
+
+_INC_ORACLE = f"""
+WITH state AS (  -- yesterday's materialized partial aggregate
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events WHERE ts < TIMESTAMP '{_INC_SPLIT}'
+  GROUP BY user_id
+), delta AS (    -- today's increment, aggregated alone
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events WHERE ts >= TIMESTAMP '{_INC_SPLIT}'
+  GROUP BY user_id
+)
+SELECT user_id, SUM(n) AS n_events,
+       CAST(SUM(s) AS DOUBLE) AS sum_value
+FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+GROUP BY user_id
+"""
+
+
+@register("incremental_agg_merge", oracle=_INC_ORACLE, tags=("agg",))
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    partial state (count + exact-decimal sum per user) merged with
+    today's delta by RE-AGGREGATING THE PARTIALS — counts add, decimal
+    sums add — never by rescanning history. This is the algebraic
+    property (commutative-monoid aggregation state) that makes daily
+    100 TB rollups O(delta) instead of O(history); the decimal-exact
+    convention doubles as the merge-correctness guarantee, since
+    partial sums are order- and grouping-independent. Avg/stddev merge
+    the same way from (n, sum, sum-of-squares) partials.
+    """
+    ev = read_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < F.lit(_INC_SPLIT).cast("timestamp")))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(_INC_SPLIT).cast("timestamp")))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+    )

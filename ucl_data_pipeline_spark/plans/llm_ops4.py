@@ -445,3 +445,64 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination removal step (anti-join companion to the overlap stats)
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH gram AS (
+  SELECT doc_id, UNNEST(list_distinct(g5)) AS g FROM (
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, GREATEST(0, len(toks) - 4)),
+             i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS g5,
+           toks
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+  )
+), bench AS (
+  SELECT DISTINCT g FROM gram WHERE doc_id % 97 = 0
+), dirty AS (
+  SELECT DISTINCT gram.doc_id
+  FROM gram JOIN bench ON gram.g = bench.g
+  WHERE gram.doc_id % 97 <> 0
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d.doc_id)
+"""
+
+
+@register("decontaminate_docs", oracle=_DECON_ORACLE, tags=("text", "llm", "join"))
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of benchmark decontamination (companion to
+    contamination_ngram_overlap's statistics): training docs that share
+    even one distinct 5-gram with the benchmark split (doc_id % 97 = 0)
+    are dropped via LEFT ANTI join; survivors pass through. Scale
+    shape: benchmark grams are distinct (set semantics, broadcastable
+    in practice); the gram equi-join bounds work by eval-gram volume;
+    the anti join keys on doc_id only — no text moves through the
+    shuffle.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    d = read_table(spark, sf_dir, "documents")
+    gram = fan_out(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("g"),
+    )
+    bench = gram.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    dirty = (
+        gram.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )

@@ -388,3 +388,154 @@ def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reading",
         F.round(out, 6).alias("reading_lerp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (bidirectional)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH carried AS (
+  SELECT event_id, user_id, ts, event_type,
+    last_value(CASE WHEN event_type = 'error' AND value IS NOT NULL
+                    THEN value END IGNORE NULLS) OVER wb AS back_v,
+    last_value(CASE WHEN event_type = 'error' AND value IS NOT NULL
+                    THEN ts END IGNORE NULLS) OVER wb AS back_ts,
+    last_value(CASE WHEN event_type = 'error' AND value IS NOT NULL
+                    THEN value END IGNORE NULLS) OVER wf AS fwd_v,
+    last_value(CASE WHEN event_type = 'error' AND value IS NOT NULL
+                    THEN ts END IGNORE NULLS) OVER wf AS fwd_ts
+  FROM events
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING),
+    wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN back_ts IS NULL THEN fwd_v
+       WHEN fwd_ts IS NULL THEN back_v
+       WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_v
+       ELSE fwd_v END AS nearest_error_value,
+  CASE WHEN back_ts IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+       WHEN fwd_ts IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+       ELSE LEAST(epoch_us(ts) - epoch_us(back_ts),
+                  epoch_us(fwd_ts) - epoch_us(ts)) END AS dist_us
+FROM carried
+WHERE event_type = 'click'
+"""
+
+
+@register("as_of_join_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("temporal", "window", "join"))
+def as_of_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of join: each 'click' picks the NEAREST 'error'
+    value in time — before or after — with ties going to the earlier
+    one. Same union-and-carry shape as as_of_join, run in both
+    directions (backward last + forward last over the reversed order),
+    then a pure-arithmetic nearest pick; still one shuffle on user_id,
+    still linear — the naive formulation is an inequality self-join
+    both ways. Distances are integral microseconds (no float
+    conventions); errors carrying NULL values are ignored so the
+    (ts, value) pair always comes from one row.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    err_v = F.when(
+        (F.col("event_type") == "error") & F.col("value").isNotNull(),
+        F.col("value"),
+    )
+    err_ts = F.when(
+        (F.col("event_type") == "error") & F.col("value").isNotNull(),
+        F.col("ts"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(err_v, ignorenulls=True).over(wb).alias("back_v"),
+        F.last(err_ts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.last(err_v, ignorenulls=True).over(wf).alias("fwd_v"),
+        F.last(err_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    return carried.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("back_ts").isNull(), F.col("fwd_v"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_v"))
+        .when(d_back <= d_fwd, F.col("back_v"))
+        .otherwise(F.col("fwd_v"))
+        .alias("nearest_error_value"),
+        F.when(F.col("back_ts").isNull(), d_fwd)
+        .when(F.col("fwd_ts").isNull(), d_back)
+        .otherwise(F.least(d_back, d_fwd))
+        .alias("dist_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-window EWMA
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25
+_EWMA_SPAN = 16
+
+_EWMA_ORACLE = f"""
+SELECT event_id, user_id, ts,
+  list_reduce(
+    list(ROUND(value * 100, 0))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW),
+    (acc, x) -> (x + 3.0 * acc) / 4.0) / 100.0 AS ewma
+FROM events
+"""
+
+
+@register("ewma_bounded", oracle=_EWMA_ORACLE, tags=("temporal", "window"))
+def ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over a BOUNDED trailing
+    window (last {SPAN} events per user, alpha=1/4): collect the frame
+    into an array, left-fold the recursive update ``s = (x + 3s)/4``
+    seeded with the oldest frame value. The bounded frame is what makes
+    EWMA expressible as pure window algebra (unbounded EWMA is
+    inherently sequential state — applyInPandasWithState territory)
+    and keeps per-row cost constant.
+
+    Determinism is by EXACT arithmetic, not rounding: inputs are
+    integer-scaled (×100, 2-dp domain) so with a power-of-two alpha
+    every fold intermediate is a dyadic rational within 53 mantissa
+    bits (≤14 bits of value + 2 bits per step) — bit-identical on any
+    engine. A ROUND(·, 6) of the double fold was NOT enough: EWMA of
+    2-dp inputs lands on exact 5-at-the-7th-digit halves, where Spark
+    and DuckDB round opposite ways.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    frame = F.collect_list(F.round(F.col("value") * 100, 0)).over(w)
+    ewma = F.aggregate(
+        F.slice(frame, 2, _EWMA_SPAN),
+        F.element_at(frame, 1),
+        lambda acc, x: (x + F.lit(3.0) * acc) / F.lit(4.0),
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", (ewma / F.lit(100.0)).alias("ewma")
+    )
