@@ -214,13 +214,19 @@ def bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_regionkey") == 0, F.lit(0)).alias("hops"),
     )
     for _ in range(_BFS_ITER):
+        # Both sides of each superstep's joins that carry distance state
+        # are bounded by the node count (nation: 25 rows) — broadcast
+        # them so edges NEVER shuffle: each superstep is then a
+        # broadcast join + partial-aggregated min, no sort-merge.
         cand = (
-            d.filter(F.col("hops").isNotNull())
-            .join(edges, d["node"] == edges["src"])
+            edges.join(
+                F.broadcast(d.filter(F.col("hops").isNotNull())),
+                d["node"] == edges["src"],
+            )
             .groupBy(F.col("dst").alias("cnode"))
             .agg((F.min("hops") + 1).alias("cand"))
         )
-        d = d.join(cand, d["node"] == cand["cnode"], "left").select(
+        d = d.join(F.broadcast(cand), d["node"] == cand["cnode"], "left").select(
             "node",
             F.when(F.col("hops").isNull(), F.col("cand"))
             .when(F.col("cand").isNull(), F.col("hops"))
