@@ -102,12 +102,20 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+    # outw has one row per source node (≤25) — broadcast it onto edges.
+    ew = (
+        edges.join(F.broadcast(outw), "src")
+        .select("src", "dst", "w", "ow")
+        .persist()
+    )
 
     ranks = nodes.select("node", F.lit(1.0 / _N_NODES).alias("rank"))
     for _ in range(_N_ITER):
+        # ranks/contrib are bounded by node count (25 rows) — broadcast
+        # them so the weighted edge table never re-shuffles per
+        # superstep (same policy as bfs_reach_hops).
         contrib = (
-            ranks.join(ew, ranks["node"] == ew["src"])
+            ew.join(F.broadcast(ranks), ranks["node"] == ew["src"])
             .select(
                 F.col("dst").alias("cnode"),
                 F.round(F.col("rank") * F.col("w") / F.col("ow"), 12).alias(
@@ -122,7 +130,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ranks = nodes.join(
-            contrib, nodes["node"] == contrib["cnode"], "left"
+            F.broadcast(contrib), nodes["node"] == contrib["cnode"], "left"
         ).select(
             "node",
             F.round(
