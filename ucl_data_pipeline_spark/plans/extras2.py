@@ -491,3 +491,127 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING / GROUPING_ID surface over CUBE
+# ---------------------------------------------------------------------------
+
+_GROUPING_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("grouping_id_surface", oracle=_GROUPING_ORACLE, tags=("agg",))
+def grouping_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID() over a CUBE: the flags that let a
+    consumer of a multi-level aggregate distinguish "NULL because
+    subtotal row" from "NULL because the data is NULL" — without them
+    cube/rollup outputs are ambiguous. One Expand + one hash-agg,
+    same physical shape as the plain cube query.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "gid", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles (order statistics without interpolation)
+# ---------------------------------------------------------------------------
+
+_PDISC_ORACLE = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50_price,
+       quantile_disc(o_totalprice, 0.9) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentile_disc_surface", oracle=_PDISC_ORACLE, tags=("agg",))
+def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc: the DISCRETE order statistic — an actual data
+    value, never an interpolated midpoint (percentile_prices covers the
+    continuous form). The distinction matters whenever the percentile
+    must be join-able back to a real row (a real order, a real
+    latency). Exact disc percentiles sort within each group; at 100 TB
+    the approx_percentile sketch replaces this, same as the cont form.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_price"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order map-function surface
+# ---------------------------------------------------------------------------
+
+_MAP_HO_ORACLE = """
+SELECT
+  event_id,
+  COALESCE(array_to_string(list_sort(list_transform(json_keys(props),
+    k -> upper(k) || '=' || CAST(json_extract(props, '$.' || k) AS BIGINT))),
+    ','), '') AS upper_entries,
+  -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+  COALESCE(array_to_string(list_sort(list_transform(
+    list_filter(json_keys(props),
+      k -> CAST(json_extract(props, '$.' || k) AS BIGINT) % 2 = 0),
+    k -> k || '=' || CAST(json_extract(props, '$.' || k) AS BIGINT))),
+    ','), '') AS even_entries
+FROM events
+"""
+
+
+@register("map_ho_functions", oracle=_MAP_HO_ORACLE, tags=("events", "map"))
+def map_ho_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order MAP function surface (transform_keys /
+    map_filter / map_entries), complementing map_functions' element
+    access: keys uppercased, entries filtered by a value predicate.
+    Map results are serialized to sorted ``k=v`` strings (atomic
+    output columns rule; ASCII keys sort identically on both engines).
+    All scan-side Catalyst expressions — the typed map path beats
+    re-parsing JSON per derived column.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+
+    def ser(mp) -> F.Column:
+        return F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mp),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), e["value"].cast("string")
+                    ),
+                )
+            ),
+        )
+
+    upper_m = F.transform_keys(m, lambda k, v: F.upper(k))
+    even_m = F.map_filter(m, lambda k, v: v % 2 == 0)
+    return ev.select(
+        "event_id",
+        ser(upper_m).alias("upper_entries"),
+        ser(even_m).alias("even_entries"),
+    )
