@@ -142,6 +142,19 @@ def to_naive_timestamp(c: ColumnOrName) -> Column:
     return F.to_timestamp(_col(c))
 
 
+def epoch_us(c: ColumnOrName) -> Column:
+    """Microseconds since epoch, accepting TIMESTAMP **or** TIMESTAMP_NTZ.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (which is what Spark ≥3.4
+    infers for parquet ``timestamp[us]`` columns written without a
+    timezone, e.g. the testdata ``events.ts``). With the session tz
+    pinned to UTC (session.py), casting NTZ→TIMESTAMP is value-exact, and
+    the cast is a no-op on an already-tz-aware column — so this helper is
+    safe for both and all call sites use it instead of raw unix_micros.
+    """
+    return F.unix_micros(_col(c).cast("timestamp"))
+
+
 def knuth_bucket(key: ColumnOrName, m: int) -> Column:
     """Deterministic sampling bucket: ``(key · 2654435761 mod 2³²) mod m``,
     overflow-safe over the FULL 64-bit key domain.

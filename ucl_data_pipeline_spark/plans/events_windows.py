@@ -448,6 +448,7 @@ def view_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "click_id",
         (
-            F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
+            F.unix_timestamp(F.col("c_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("v_ts").cast("timestamp"))
         ).alias("lag_s"),
     )

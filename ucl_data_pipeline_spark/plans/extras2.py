@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ucl_data_pipeline_spark.functions.scalar import epoch_us
 from ucl_data_pipeline_spark.plans.registry import register
 from ucl_data_pipeline_spark.sources.io import read_table
 
@@ -62,7 +63,7 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     flagged = ev.select(
         "user_id",
         "event_id",
@@ -81,7 +82,7 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias(
                 "duration_us"
             ),
         )

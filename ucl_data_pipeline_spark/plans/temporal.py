@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ucl_data_pipeline_spark.functions.scalar import epoch_us
 from ucl_data_pipeline_spark.plans.registry import register, sql_dsum
 from ucl_data_pipeline_spark.sources.io import read_table
 
@@ -355,7 +356,7 @@ def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    t_us = F.unix_micros("ts")
+    t_us = epoch_us("ts")
     known_t = F.when(F.col("reading").isNotNull(), t_us)
     nb = masked.select(
         "event_id",
@@ -470,8 +471,8 @@ def as_of_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(err_v, ignorenulls=True).over(wf).alias("fwd_v"),
         F.last(err_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
     )
-    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
-    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    d_back = epoch_us("ts") - epoch_us("back_ts")
+    d_fwd = epoch_us("fwd_ts") - epoch_us("ts")
     return carried.filter(F.col("event_type") == "click").select(
         "event_id",
         "user_id",

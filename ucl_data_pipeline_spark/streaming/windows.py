@@ -181,7 +181,10 @@ def interval_join_stream(
         "user_id",
         "view_id",
         "click_id",
-        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("lag_s"),
+        (
+            F.unix_timestamp(F.col("c_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("v_ts").cast("timestamp"))
+        ).alias("lag_s"),
     )
 
 
