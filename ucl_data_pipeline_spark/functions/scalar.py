@@ -155,6 +155,15 @@ def epoch_us(c: ColumnOrName) -> Column:
     return F.unix_micros(_col(c).cast("timestamp"))
 
 
+def epoch_s(c: ColumnOrName) -> Column:
+    """Whole seconds since epoch, accepting TIMESTAMP **or**
+    TIMESTAMP_NTZ — the second-granularity sibling of :func:`epoch_us`
+    (same NTZ→TIMESTAMP cast rationale; see its docstring). Shared by
+    the batch and streaming interval-join ``lag_s`` projections so an
+    NTZ-related fix lands in one place."""
+    return F.unix_timestamp(_col(c).cast("timestamp"))
+
+
 def knuth_bucket(key: ColumnOrName, m: int) -> Column:
     """Deterministic sampling bucket: ``(key · 2654435761 mod 2³²) mod m``,
     overflow-safe over the FULL 64-bit key domain.

@@ -216,6 +216,135 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLOYD2_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent0 AS (
+  SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {K}
+), dist1 AS (
+  SELECT e.vec_id, e.emb, c.cid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(generate_series(1, len(e.emb)),
+               i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
+           (a, b) -> a + b) AS d2
+  FROM e CROSS JOIN cent0 c
+), assigned1 AS (
+  SELECT vec_id, emb, cid
+  FROM dist1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), newc AS (
+  SELECT cid, list(mean_val ORDER BY pos) AS cvec
+  FROM (
+    SELECT a.cid, i AS pos,
+           CAST(SUM(CAST(a.emb[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS mean_val
+    FROM assigned1 a, unnest(generate_series(1, len(a.emb))) AS t(i)
+    GROUP BY a.cid, i
+  ) GROUP BY cid
+), cent1 AS (  -- empty clusters keep their previous center
+  SELECT c0.cid, COALESCE(n.cvec, c0.cvec) AS cvec
+  FROM cent0 c0 LEFT JOIN newc n ON c0.cid = n.cid
+), dist2 AS (
+  SELECT e.vec_id, e.emb, c.cid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(generate_series(1, len(e.emb)),
+               i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
+           (a, b) -> a + b) AS d2
+  FROM e CROSS JOIN cent1 c
+), assigned2 AS (
+  SELECT vec_id, emb, cid
+  FROM dist2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+SELECT
+  CAST(a.cid AS INTEGER) AS cluster_id,
+  CAST(i - 1 AS INTEGER) AS pos,
+  COUNT(*) AS n_points,
+  ROUND(CAST(SUM(CAST(a.emb[i] AS DECIMAL(18,9))) AS DOUBLE)
+    / COUNT(*), 6) AS mean_val
+FROM assigned2 a, unnest(generate_series(1, len(a.emb))) AS t(i)
+GROUP BY a.cid, i
+"""
+
+
+@register("kmeans_lloyd2", oracle=_LLOYD2_ORACLE, tags=("vector", "llm", "agg"))
+def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO oracle-checked Lloyd iterations unrolled from literal seed
+    centers (embeddings of vec_id 0..K-1): assign → recompute centers →
+    reassign → per-cluster per-dimension means. Extends
+    ``kmeans_assign`` (one step) the way pagerank's unrolled-CTE oracle
+    covers its supersteps, closing the verification gap on the full
+    iterative loop: ``kmeans_clusters`` is exactly this step composed n
+    times, so a hash-match here checks the loop body INCLUDING the
+    center-feedback path that a single step can't see.
+
+    Cross-engine determinism: iteration-1 centers are exact-decimal
+    sums divided by counts — one IEEE double division with identical
+    operands on both engines, so the fed-back centers are bit-identical
+    without rounding; d2 folds from 0.0 in identical order; argmin ties
+    break toward the lowest center id; empty clusters carry their
+    previous center forward on both sides.
+
+    Scale shape: per iteration, one narrow literal-centers projection
+    (no point-center shuffle) + one (cluster, dim)-keyed hash-agg with
+    map-side partials; between iterations only k×dim doubles cross the
+    driver. Identical to the production ``kmeans_clusters`` loop body.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double("embedding").alias("embedding")
+    )
+    # Two narrow passes over the points (assign@seed → means; final
+    # plan) — worth one in-memory persist even at this scale; the
+    # production loop (kmeans_clusters) does the same.
+    pts = e.persist()
+    seeds = [
+        list(r.embedding)
+        for r in pts.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+
+    def lloyd_means(centers: list[list[float]]) -> DataFrame:
+        d = _dists(centers)
+        assigned = pts.select(
+            (F.array_position(d, F.array_min(d)) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            "embedding",
+        )
+        return (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.count("*").alias("n_points"),
+                (
+                    F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                ).alias("mean_val"),
+            )
+        )
+
+    # iteration 1: collect the k×dim new centers (tiny driver pull)
+    new = {}
+    for row in lloyd_means(seeds).collect():
+        new.setdefault(row.cluster_id, {})[row.pos] = row.mean_val
+    cent1 = [
+        [new[cid][p] for p in sorted(new[cid])] if cid in new else seeds[cid]
+        for cid in range(len(seeds))
+    ]
+    # iteration 2: same step from the fed-back centers, rounded output
+    out = lloyd_means(cent1)
+    pts.unpersist()
+    return out.select(
+        "cluster_id",
+        "pos",
+        "n_points",
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
 @register("kmeans_clusters", oracle=None, tags=("vector", "llm", "iterative"))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (k=8, k-means|| init, 5 Lloyd iterations) over the

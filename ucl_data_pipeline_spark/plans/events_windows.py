@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ucl_data_pipeline_spark.functions import scalar as SC
 from ucl_data_pipeline_spark.plans.registry import (
     dsum,
     register,
@@ -447,8 +448,5 @@ def view_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_id",
         "click_id",
-        (
-            F.unix_timestamp(F.col("c_ts").cast("timestamp"))
-            - F.unix_timestamp(F.col("v_ts").cast("timestamp"))
-        ).alias("lag_s"),
+        (SC.epoch_s("c_ts") - SC.epoch_s("v_ts")).alias("lag_s"),
     )

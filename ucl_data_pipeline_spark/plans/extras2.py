@@ -208,7 +208,8 @@ WITH h AS (
   FROM h
 )
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(CAST(rowv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+       CAST(CAST(SUM(CAST(rowv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS checksum
 FROM v
 """
 
@@ -245,10 +246,15 @@ def checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conv(hex, 16, 10) is the JVM fast path for the same 60-bit value
     # the oracle derives with its nibble fold (DuckDB has no conv).
     rowv = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    # String-typed on BOTH sides: a 23-digit DECIMAL(38,0) exceeds
+    # float64's 15-16 significant digits, so any pandas/float transport
+    # of the numeric form silently loses precision. The exact decimal
+    # rendered as a string survives every canonicalizer.
     return l.select(rowv.alias("rowv")).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("rowv").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("checksum"),
     )
 
@@ -455,7 +461,7 @@ WITH state AS (  -- yesterday's materialized partial aggregate
   FROM events WHERE ts >= TIMESTAMP '{_INC_SPLIT}'
   GROUP BY user_id
 )
-SELECT user_id, SUM(n) AS n_events,
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(s) AS DOUBLE) AS sum_value
 FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
 GROUP BY user_id

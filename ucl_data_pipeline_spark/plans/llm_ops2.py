@@ -244,7 +244,7 @@ WITH tok AS (
 ), agg AS (
   SELECT
     doc_id,
-    SUM(c) AS n_tokens,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
     CAST(SUM(CAST(ROUND(c * log2(c), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s
   FROM cnt GROUP BY doc_id
 )

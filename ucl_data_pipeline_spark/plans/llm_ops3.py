@@ -403,7 +403,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIXTURE_ORACLE = rf"""
 WITH per_source AS (
-  SELECT source, SUM(len({_SQL_TOKS})) AS n_tokens
+  SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
   SELECT SUM(n_tokens) AS total FROM per_source

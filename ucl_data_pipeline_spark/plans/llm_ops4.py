@@ -106,7 +106,7 @@ WITH t AS (
   FROM documents
 )
 SELECT source, split, COUNT(*) AS n_docs,
-       SUM(n_toks) AS n_tokens
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
 FROM t
 GROUP BY source, split
 """

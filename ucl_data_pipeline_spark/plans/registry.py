@@ -26,6 +26,17 @@ equality — Spark and DuckDB sum doubles in different orders):
   ``concat_ws``/``to_json`` after ``array_sort`` on the Spark side,
   ``array_to_string(list_sort(...))``/``to_json`` in the oracle.
   Enforced by tests/test_plans.py::test_registered_outputs_atomic.
+- **Oracle aggregate outputs must be CAST to BIGINT/DOUBLE/VARCHAR —
+  never HUGEINT or wide DECIMAL.** DuckDB types a bare ``SUM(BIGINT)``
+  as HUGEINT, which pandas converts to float64, while Spark returns
+  int64; the driver's dtype-sensitive canonicalizer then hashes
+  ``60000 != 60000.0`` even though every value matches. Write
+  ``CAST(SUM(x) AS BIGINT)``. Values wider than 15-16 significant
+  digits (e.g. a DECIMAL(38,0) checksum) must be emitted as strings on
+  BOTH sides — float64 transport silently truncates them. Enforced by
+  tests/test_queries_oracle.py::test_query_matches_oracle's dtype
+  check (compares ``duckdb .df()`` vs ``toPandas()`` dtypes — the
+  driver's view).
 """
 
 from __future__ import annotations
@@ -75,72 +86,32 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-3 priority: the four round-2 red rows (array outputs now
-# serialized to atomic columns — the fix itself needs a green driver row),
-# then the 34 queries that have never had a driver CORRECTNESS row (all
-# round-2-new modules: tpch2/tpch3, llm_ops2/llm_ops3, pagerank, SCD2/CDC,
-# interval join, text surface), then the two queries whose behavior
-# depends on round-2's normalize_names dedup change (ADVICE item:
-# dict_lookup_join / enrich_pipeline shipped without driver verification),
-# then round-3-new queries as they land.
+# Round-4 priority: (1) the four round-3 red rows, now fixed with
+# oracle-side dtype CASTs (BIGINT token sums; string-typed checksum) —
+# the fix itself needs a green driver row; (2) the 10 queries that have
+# never had a driver CORRECTNESS row (added in round 3 past the 50-slot
+# budget); (3) round-4-new queries as they land. Everything else has a
+# green row from rounds 1-3 and rotates to the back (cumulative driver
+# coverage: 139/149 checked, 132 green entering round 4).
 EXPORT_FIRST: tuple[str, ...] = (
-    # round-2 red rows, now with serialized array outputs
-    "map_functions",
-    "array_functions",
-    "collect_sorted_list",
-    "user_event_sequences",
-    # never driver-checked: TPC-H shapes added in round 2
-    "min_cost_supplier",
-    "order_priority_check",
-    "important_part_value",
-    "promo_revenue_share",
-    "supplier_count_by_part",
-    "excess_share_suppliers",
-    "product_profit_by_nation",
-    "order_count_distribution",
-    "small_quantity_revenue",
-    "disjunctive_predicate_revenue",
-    "dormant_rich_customers",
-    # never driver-checked: LLM curation / ANN (llm_ops2 + llm_ops3)
-    "contamination_ngram_overlap",
-    "pack_sequences_greedy",
-    "repetition_score",
+    # round-3 red rows, fixed: oracle aggregate dtype casts
     "unigram_entropy",
-    "bigram_lm_stats",
-    "vocab_coverage",
-    "embedding_sq8_topk",
-    "shingle_containment_pairs",
-    "url_normalize",
     "domain_mixture_weights",
-    "boilerplate_chunk_removal",
-    "quality_filter_pipeline",
-    # never driver-checked: graph / warehouse / temporal / text
-    "pagerank_trade_network",
-    "scd2_history",
-    "snapshot_diff_cdc",
-    "view_click_interval_join",
-    "linear_interpolate",
-    "approx_percentile_bounded",
-    "string_functions",
-    "text_clean",
-    "pii_redaction",
-    # never driver-checked: rows-only-by-design multimodal Python stages
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    # normalize_names-dependent queries (round-2 enrich.py dedup change)
-    "dict_lookup_join",
-    "enrich_pipeline",
-    # round-3 additions get slots here as they land
-    "kmeans_assign",
-    "doc_chunk_windows",
     "train_val_test_split",
-    "mixture_resample",
-    "embedding_pq_topk",
-    "bfs_reach_hops",
-    "sessionize_gaps_islands",
-    "histogram_fixed_bins",
     "checksum_table",
-    "window_frame_surface",
+    # never driver-checked (round-3 additions past the slot budget)
+    "as_of_join_nearest",
+    "decontaminate_docs",
+    "dedup_fuzzy_edit_distance",
+    "ewma_bounded",
+    "grouping_id_surface",
+    "incremental_agg_merge",
+    "map_ho_functions",
+    "mode_per_group",
+    "pareto_frontier_parts",
+    "percentile_disc_surface",
+    # round-4 additions get slots here as they land
+    "kmeans_lloyd2",
 )
 
 

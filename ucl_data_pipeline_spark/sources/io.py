@@ -42,9 +42,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for free; callers should select/filter as early as convenient but
     correctness never depends on it.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the JVM
-    reader rejects; we read nanos as long and floor-convert to
-    microsecond timestamps (identical to DuckDB's ns→µs truncation).
+    ``events.ts`` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    in all current sf dirs, which reads directly as ``timestamp_ntz`` —
+    the naive-timestamp semantic every events oracle assumes. Earlier
+    driver testdata shipped TIMESTAMP(NANOS), which the JVM reader
+    rejects outright; that shape is handled by a guarded fallback
+    (``_read_events_legacy_nanos``) kept because the testdata's
+    physical type has already changed once between rounds.
 
     Defense-in-depth: the engine does not own the SparkSession it is
     handed (the verification driver builds its own), so the one conf
@@ -59,27 +63,37 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Scope the legacy-nanos conf to this one analysis: flip it for
-        # the schema resolution, then restore the caller's value so an
-        # unrelated later read in the same session is not retyped.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(path)
-            nanos_cols = [
-                f.name
-                for f in df.schema.fields
-                if f.name == "ts" and isinstance(f.dataType, T.LongType)
-            ]
-            for c in nanos_cols:
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df
+            return spark.read.parquet(path)
+        except Exception:
+            return _read_events_legacy_nanos(spark, path)
     return spark.read.parquet(path)
+
+
+def _read_events_legacy_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback for TIMESTAMP(NANOS) events parquet: read nanos as long
+    and floor-convert to microsecond timestamps (identical to DuckDB's
+    ns→µs truncation). The legacy conf is scoped to this one schema
+    resolution and restored so an unrelated later read in the same
+    session is not retyped.
+    """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+        nanos_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name == "ts" and isinstance(f.dataType, T.LongType)
+        ]
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return df
 
 
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:

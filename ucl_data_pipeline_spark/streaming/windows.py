@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ucl_data_pipeline_spark.functions import scalar as SC
+
 EVENTS_MICROS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -181,10 +183,7 @@ def interval_join_stream(
         "user_id",
         "view_id",
         "click_id",
-        (
-            F.unix_timestamp(F.col("c_ts").cast("timestamp"))
-            - F.unix_timestamp(F.col("v_ts").cast("timestamp"))
-        ).alias("lag_s"),
+        (SC.epoch_s("c_ts") - SC.epoch_s("v_ts")).alias("lag_s"),
     )
 
 
