@@ -112,6 +112,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "percentile_disc_surface",
     # round-4 additions get slots here as they land
     "kmeans_lloyd2",
+    "copurchase_pairs",
+    "k_anonymity_check",
+    "inverted_index_postings",
 )
 
 
