@@ -180,3 +180,116 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= _POSTINGS_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression surface (exact-sum formulation)
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4)))
+           AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2)))
+           AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+           AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@register("regr_ols_surface", oracle=_REGR_ORACLE, tags=("agg", "stats"))
+def regr_ols_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares regression (slope / intercept /
+    r² of extendedprice on quantity per return flag) from the five
+    classical sufficient statistics — the distributed formulation:
+    Σx, Σy, Σxy, Σx², Σy² are map-side-combinable partial sums, so the
+    whole regression is ONE hash-agg pass at any scale, never a
+    centered two-pass algorithm. Engine-native ``regr_slope`` et al.
+    accumulate doubles in partition order (non-deterministic across
+    engines AND runs); here every sum is EXACT decimal (inputs are
+    2-dp decimals, so the products have bounded scale), and the final
+    arithmetic is an identical double expression on both engines,
+    rounded to 6 dp.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * p).cast("decimal(24,4)")).cast("double").alias("sxy"),
+        F.sum((q * q).cast("decimal(18,2)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Continuous (interpolated) percentile surface
+# ---------------------------------------------------------------------------
+
+_PCONT_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6)
+         AS p25,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+         AS p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6)
+         AS p95
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentile_cont_surface", oracle=_PCONT_ORACLE, tags=("agg", "stats"))
+def percentile_cont_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont: the INTERPOLATED order statistic (linear
+    between the two straddling values at rank p·(n−1)), complementing
+    percentile_disc_surface's exact-data-value variant. Spark's exact
+    ``percentile`` implements the same definition as SQL
+    percentile_cont; outputs rounded to 6 dp (one interpolation
+    division in double — last-ulp safety).
+
+    Scale: exact percentiles need the per-group sorted values — fine
+    keyed by a 5-value priority column, but the 100 TB path for
+    high-cardinality keys is approx_percentile_bounded (registered),
+    which trades a 1e-4 rank error for a mergeable sketch. Both are
+    registered so the trade-off is explicit in the inventory.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(o_totalprice, {pq})"), 6
+            ).alias(name)
+            for pq, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95"))
+        ]
+    )

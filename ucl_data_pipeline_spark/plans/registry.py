@@ -115,6 +115,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "copurchase_pairs",
     "k_anonymity_check",
     "inverted_index_postings",
+    "regr_ols_surface",
+    "percentile_cont_surface",
 )
 
 
