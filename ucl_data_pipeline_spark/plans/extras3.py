@@ -293,3 +293,81 @@ def percentile_cont_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pq, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95"))
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall measurement (index-quality gate)
+# ---------------------------------------------------------------------------
+
+# Reuse the exact spellings from llm_ops so the oracle stays literally
+# in sync with the two queries it grades.
+from ucl_data_pipeline_spark.plans.llm_ops import _SQL_BUCKET, _SQL_COS  # noqa: E402
+
+_RECALL_ORACLE = f"""
+WITH exact3 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 3
+), approx3 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM embeddings q
+  JOIN embeddings c
+    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+   AND {_SQL_BUCKET.format(side='q')} = {_SQL_BUCKET.format(side='c')}
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 3
+)
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(a.neighbor_id) / 3.0, 6) AS recall_at_3
+FROM exact3 e
+LEFT JOIN approx3 a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_at_3", oracle=_RECALL_ORACLE, tags=("vector", "llm", "agg"))
+def ann_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-bit-LSH ANN index against the exact
+    brute-force baseline, per query — the quality gate a pipeline runs
+    BEFORE switching its retrieval path to an approximate index, and
+    re-runs whenever the index is rebuilt. Composes the two registered
+    queries (embedding_lsh_topk vs embedding_topk_cosine) so the
+    measurement can never drift from what it grades.
+
+    Scale: the exact side is the expensive part, but recall is always
+    measured on a bounded QUERY SAMPLE (here vec_id % 100), so the
+    brute-force cost is O(sample·n) once per index build, not a
+    production path. The overlap join is per-(query, neighbor) on two
+    ≤3-row-per-query tables — negligible.
+    """
+    from pyspark.sql import Window
+
+    from ucl_data_pipeline_spark.plans.llm_ops import (
+        embedding_lsh_topk,
+        embedding_topk_cosine,
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact3 = (
+        embedding_topk_cosine(spark, sf_dir)  # registered exact top-5
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx3 = embedding_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact3.join(approx3, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
+        )
+    )

@@ -117,6 +117,22 @@ EXPORT_FIRST: tuple[str, ...] = (
     "inverted_index_postings",
     "regr_ols_surface",
     "percentile_cont_surface",
+    "ann_recall_at_3",
+    # code paths touched this round, re-verified ahead of the fallthrough:
+    # view_click_interval_join uses the new shared epoch_s helper; the
+    # rest read events through read_table's reworked NTZ-first path
+    "view_click_interval_join",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "dedup_events_first",
+    "gap_fill_daily",
+    "linear_interpolate",
+    "json_props_extract",
+    "user_event_sequences",
+    "map_functions",
+    "sessionize_gaps_islands",
+    "hypertable_rollup",
 )
 
 
