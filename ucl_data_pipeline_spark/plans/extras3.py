@@ -371,3 +371,56 @@ def ann_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot incremental dedup (corpus ingestion gate)
+# ---------------------------------------------------------------------------
+
+_XSNAP_ORACLE = r"""
+WITH corpus AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    AS norm_hash
+  FROM documents WHERE doc_id % 4 <> 0
+), incoming AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash
+  FROM documents WHERE doc_id % 4 = 0
+), novel AS (
+  SELECT i.* FROM incoming i ANTI JOIN corpus c USING (norm_hash)
+)
+SELECT doc_id, source, norm_hash
+FROM novel
+QUALIFY row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1
+"""
+
+
+@register("dedup_cross_snapshot", oracle=_XSNAP_ORACLE, tags=("dedup", "llm"))
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: an incoming batch (doc_id % 4 = 0
+    stands in for today's crawl) is admitted only where its normalized
+    content hash (a) does not already exist in the standing corpus
+    (LEFT ANTI join on the digest) and (b) is unique within the batch
+    (first doc_id wins). This is THE shape of continuous corpus
+    building at 100 TB — history is never rescanned per ingest; the
+    corpus side reduces to its distinct 16-byte digests (at scale: a
+    digest index table maintained incrementally, exactly what
+    incremental_agg_merge does for aggregates), the anti join shuffles
+    32-byte keys rather than documents, and the within-batch dedup
+    windows over the BATCH only.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5(TX.normalized_text("text")).alias("norm_hash")
+    corpus = (
+        d.filter(F.col("doc_id") % 4 != 0).select(h).distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "source", h)
+    novel = incoming.join(corpus, "norm_hash", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    return (
+        novel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "norm_hash")
+    )

@@ -118,6 +118,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "regr_ols_surface",
     "percentile_cont_surface",
     "ann_recall_at_3",
+    "dedup_cross_snapshot",
     # code paths touched this round, re-verified ahead of the fallthrough:
     # view_click_interval_join uses the new shared epoch_s helper; the
     # rest read events through read_table's reworked NTZ-first path
