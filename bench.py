@@ -149,6 +149,16 @@ def main() -> None:
         names = sorted(REGISTRY)  # stable order across rounds
         if chunk > 0:
             timings = _run_chunked(names, chunk)
+            missing = [n for n in names if n not in timings]
+            if missing:
+                # Safety net: if subprocess isolation failed in this
+                # environment (spawn limits, etc.), measure the missing
+                # queries in-process rather than reporting a hole.
+                sys.stderr.write(
+                    f"bench: {len(missing)} queries missing from chunked "
+                    "run; measuring in-process\n"
+                )
+                timings.update(_run_in_process(missing, sf_dir))
         else:
             timings = _run_in_process(names, sf_dir)
 

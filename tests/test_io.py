@@ -94,3 +94,26 @@ def test_multi_format_roundtrip_fidelity(spark, sf_dir, tmp_path):
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
         ).collect()[0][0]
         assert got_sum == want_sum, fmt
+
+
+def test_orc_and_jsonl_helper_roundtrip(spark, sf_dir, tmp_path):
+    from ucl_data_pipeline_spark.sources.io import (
+        read_jsonl,
+        read_orc,
+        read_table,
+        write_jsonl,
+        write_orc,
+    )
+
+    src = read_table(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "nation_orc")
+    jl_path = str(tmp_path / "nation_jsonl")
+    write_orc(src, orc_path)
+    write_jsonl(src, jl_path)
+    got_orc = read_orc(spark, orc_path)
+    got_jl = read_jsonl(spark, jl_path, schema=src.schema)
+    want = sorted(map(tuple, src.collect()))
+    assert got_orc.schema == src.schema
+    assert sorted(map(tuple, got_orc.collect())) == want
+    assert got_jl.schema == src.schema
+    assert sorted(map(tuple, got_jl.collect())) == want

@@ -271,6 +271,42 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC egress sink (zlib default) — the columnar interchange format
+    for Hive-ecosystem consumers; same predicate-pushdown/column-
+    pruning properties as parquet on re-scan."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (declared schema optional — ORC is self-describing)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines egress sink — the common text-corpus interchange
+    format (one document object per line). Columnar pushdown does NOT
+    apply on re-scan; use parquet for anything re-read hot."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. Always pass ``schema`` at scale: without it
+    Spark runs a full inference pre-pass over the data (twice the IO),
+    and drifting inputs silently change the inferred types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All driver synthetic tables as a name→DataFrame dict."""
     return {name: read_table(spark, sf_dir, name) for name in TESTDATA_SCHEMAS}
