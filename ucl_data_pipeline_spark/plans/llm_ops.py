@@ -986,12 +986,55 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract", oracle=None, tags=("multimodal", "llm"))
+# The stub decoder's byte-level features are themselves deterministic
+# functions of the payload, and the fake payload is the utf-8 bytes of
+# `text` — so the Python mapInPandas stage CAN be oracle-checked in
+# SQL. DuckDB has no blob md5/byte-indexing, so the oracle works on
+# characters via ord(); that equals byte semantics only for ASCII
+# corpora, which the driver testdata is (verified: 0 non-ascii docs in
+# all sf dirs). If non-ascii data ever appears the row goes visibly
+# red rather than silently weak — the right failure mode.
+_MM_MEDIA_SQL = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text
+  FROM documents
+"""
+
+_MM_FEAT_ORACLE = f"""
+WITH m AS ({_MM_MEDIA_SQL}
+), b AS (
+  SELECT media_id, ord(substr(text, i, 1)) AS bv
+  FROM m, unnest(generate_series(1, length(text))) AS t(i)
+), s AS (
+  SELECT media_id, SUM(bv) AS sum_b, COUNT(DISTINCT bv) AS n_distinct
+  FROM b GROUP BY media_id
+)
+SELECT m.media_id, m.media_type,
+       CAST(length(m.text) AS INTEGER) AS n_bytes,
+       CASE WHEN length(m.text) = 0 THEN 0.0
+            ELSE CAST(s.sum_b AS DOUBLE) / length(m.text) END AS byte_mean,
+       CASE WHEN length(m.text) = 0 THEN 0.0
+            ELSE CAST(s.n_distinct AS DOUBLE) / 256.0 END
+         AS byte_entropy_proxy,
+       md5(substr(m.text, 1, 64)) AS head_hash
+FROM m LEFT JOIN s USING (media_id)
+"""
+
+
+@register(
+    "multimodal_feature_extract", oracle=_MM_FEAT_ORACLE, tags=("multimodal", "llm")
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/featurize via mapInPandas (stub codec —
-    deterministic byte-level features; see operators.multimodal). No
-    SQL oracle: the Python stage is engine-specific; driver records
-    rows-only, pytest asserts the feature values.
+    deterministic byte-level features; see operators.multimodal).
+    Oracle-checked since round 4: the stub's features (byte mean,
+    distinct-byte entropy proxy, head md5) are re-derived in pure SQL
+    over the same text-derived payload, so the PYTHON STAGE ITSELF —
+    Arrow batching, schema, partitioning and all — is hash-verified
+    against DuckDB, not just row-counted.
     """
     from ucl_data_pipeline_spark.operators.multimodal import (
         attach_fake_media,
@@ -1002,13 +1045,31 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, decoder="stub")
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "llm"))
+_MM_FRAME_ORACLE = f"""
+WITH m AS ({_MM_MEDIA_SQL}
+)
+SELECT media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       hex(encode(substr(text, k * 64 + 1, 64))) AS frame_hex
+FROM m, unnest(generate_series(0, CAST(floor((length(text) - 1) / 64.0)
+                                       AS BIGINT), 2)) AS t(k)
+WHERE media_type = 'video' AND length(text) > 0
+"""
+
+
+@register(
+    "multimodal_frame_sample", oracle=_MM_FRAME_ORACLE, tags=("multimodal", "llm")
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over "video" payloads: chunk each blob into
-    frames and keep every stride-th one (bounded fan-out explode in an
-    Arrow-batched stage; a codec replaces the chunker on a real
-    cluster). Rows-only check: binary frame output has no SQL oracle;
-    pytest asserts chunk boundaries and stride.
+    64-byte frames and keep every 2nd one (bounded fan-out explode in
+    an Arrow-batched stage; a codec replaces the chunker on a real
+    cluster). Driver-visible output serializes each frame as hex —
+    raw binary cells are unhashable in a pandas canonicalizer
+    (registry atomic-output convention); the operator itself
+    (operators.multimodal.sample_frames) still returns real bytes.
+    Oracle-checked since round 4 (same ASCII note as
+    multimodal_feature_extract).
     """
     from ucl_data_pipeline_spark.operators.multimodal import (
         attach_fake_media,
@@ -1016,7 +1077,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
-    return sample_frames(media, frame_size=64, stride=2)
+    frames = sample_frames(media, frame_size=64, stride=2)
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
 
 
 _CC_ORACLE = rf"""

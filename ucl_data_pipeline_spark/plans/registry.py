@@ -119,6 +119,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "percentile_cont_surface",
     "ann_recall_at_3",
     "dedup_cross_snapshot",
+    # rows-only → exact this round: the stub decode's features re-derived
+    # in SQL, so the mapInPandas stage itself is now hash-verified
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
     # code paths touched this round, re-verified ahead of the fallthrough:
     # view_click_interval_join uses the new shared epoch_s helper; the
     # rest read events through read_table's reworked NTZ-first path
