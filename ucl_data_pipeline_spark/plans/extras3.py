@@ -424,3 +424,147 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "norm_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+from ucl_data_pipeline_spark.plans.registry import sql_knuth_bucket  # noqa: E402
+from ucl_data_pipeline_spark.functions.scalar import knuth_bucket  # noqa: E402
+
+_N_SHARDS = 8
+
+# Per-(doc, shard) weight: the width-safe Knuth hash of a key derived
+# from both ids; argmax over shards with lowest-shard tie-break.
+_RDV_W = sql_knuth_bucket("d.doc_id * 31 + s.shard", 1_000_000)
+
+_RDV_ORACLE = f"""
+WITH s AS (
+  SELECT unnest(generate_series(0, {_N_SHARDS - 1})) AS shard
+), w AS (
+  SELECT d.doc_id, s.shard, {_RDV_W} AS wt
+  FROM documents d CROSS JOIN s
+), pick AS (
+  SELECT doc_id, shard
+  FROM w
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, shard) = 1
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM pick
+GROUP BY shard
+"""
+
+
+@register("shard_assignment_rendezvous", oracle=_RDV_ORACLE, tags=("llm", "agg"))
+def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard placement: each doc
+    goes to the shard maximizing a per-(doc, shard) hash weight —
+    per-shard counts + id ranges as the placement audit. The property
+    that matters at 100 TB: adding/removing ONE shard relocates only
+    ~1/N of keys (each doc moves only if the new shard wins its
+    argmax), versus mod-N hashing which relocates almost everything —
+    this is how an engine re-shards a corpus, a feature store, or an
+    ANN index incrementally.
+
+    Shape: the weight table is a narrow projection of doc_id over a
+    {_N_SHARDS}-row broadcast grid (no data shuffle to score), the
+    argmax is a window keyed by doc_id, and the audit is one hash-agg.
+    Deterministic: hash-derived weights (no RNG), lowest-shard
+    tie-break, same width-safe arithmetic on both engines.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(_N_SHARDS).select(F.col("id").cast("int").alias("shard"))
+    w = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        knuth_bucket(
+            F.col("doc_id") * 31 + F.col("shard"), 1_000_000
+        ).alias("wt"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("wt"), "shard")
+    pick = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "shard")
+    )
+    return pick.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust z-score outliers (median / MAD)
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+           AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 2.5
+"""
+
+
+@register("robust_zscore_outliers", oracle=_ROBUST_ORACLE, tags=("agg", "stats"))
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection with MEDIAN/MAD instead of mean/stddev
+    (zscore_by_group's robust sibling): |x − median| > 2.5·(1.4826·MAD)
+    flags heavy-tail anomalies without the masking problem — a single
+    extreme value inflates a stddev enough to hide itself, but cannot
+    move a median. The workhorse quality gate for skewed quantities
+    (the events value column has real tails; uniform columns like
+    o_totalprice max out at |z|≈1.4 by construction).
+
+    Determinism: percentile_disc picks ACTUAL data values (no
+    interpolation arithmetic to diverge), so median and MAD are
+    bit-identical across engines; the final score is one identical
+    double expression rounded to 6 dp.
+
+    Scale: two grouped exact medians over a bounded key domain + two
+    broadcast-sized joins back to the facts; for high-cardinality keys
+    the medians swap to approx_percentile sketches (registered
+    separately) without changing the score expression.
+    """
+    e = read_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+        ).alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY abs(value - med))"
+        ).alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

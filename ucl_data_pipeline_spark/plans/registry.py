@@ -123,6 +123,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     # in SQL, so the mapInPandas stage itself is now hash-verified
     "multimodal_feature_extract",
     "multimodal_frame_sample",
+    "shard_assignment_rendezvous",
+    "robust_zscore_outliers",
     # code paths touched this round, re-verified ahead of the fallthrough:
     # view_click_interval_join uses the new shared epoch_s helper; the
     # rest read events through read_table's reworked NTZ-first path
