@@ -568,3 +568,99 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information of co-occurring token pairs
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_DF = 25
+_PMI_MAX_DF = 450
+_PMI_MIN_CO = 50
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+  )
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+  HAVING COUNT(*) BETWEEN {_PMI_MIN_DF} AND {_PMI_MAX_DF}
+), keep AS (
+  SELECT t.doc_id, t.token FROM tok t JOIN df USING (token)
+), pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS co
+  FROM keep a JOIN keep b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_CO}
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+)
+SELECT p.tok_a, p.tok_b, p.co,
+       ROUND(log2(CAST(p.co AS DOUBLE) * n.n_docs
+                  / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+FROM pairs p
+JOIN df da ON da.token = p.tok_a
+JOIN df db ON db.token = p.tok_b
+CROSS JOIN n
+"""
+
+
+@register("token_pmi_pairs", oracle=_PMI_ORACLE, tags=("llm", "text", "agg"))
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of document-level token
+    co-occurrence: PMI(a,b) = log2(co·N / (df_a·df_b)) for mid-df
+    tokens (df 25-200 — stop words excluded by the ceiling, noise by
+    the floor) with co-occurrence ≥ 10. The classical collocation /
+    phrase-mining signal a text pipeline feeds into tokenizer-merge or
+    feature engineering decisions.
+
+    Scale: the df window is the quadratic-blowup guard — pairing runs
+    only over informative tokens (same principle as
+    jaccard_shingle_pairs' stop-shingle cap), keyed by doc_id in ONE
+    co-partitioned self-join; counts are exact integers so the single
+    log2 expression is cross-engine deterministic at 6 dp. df and N
+    are broadcast-sized side tables.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.distinct_tokens("text")).alias("token")
+    )
+    df_t = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(_PMI_MIN_DF, _PMI_MAX_DF))
+    )
+    keep = tok.join(F.broadcast(df_t.select("token")), "token")
+    a = keep.select(F.col("doc_id").alias("k"), F.col("token").alias("tok_a"))
+    b = keep.select(F.col("doc_id").alias("k"), F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= _PMI_MIN_CO)
+    )
+    n_docs = tok.select("doc_id").distinct().count()
+    da = df_t.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    db = df_t.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "co",
+            F.round(
+                F.log2(
+                    F.col("co").cast("double")
+                    * F.lit(n_docs)
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -125,6 +125,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "multimodal_frame_sample",
     "shard_assignment_rendezvous",
     "robust_zscore_outliers",
+    "token_pmi_pairs",
     # code paths touched this round, re-verified ahead of the fallthrough:
     # view_click_interval_join uses the new shared epoch_s helper; the
     # rest read events through read_table's reworked NTZ-first path
