@@ -664,3 +664,220 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER w AS t_next
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT user_id,
+         t_next - t AS dt_us,
+         CAST(ROUND(value * (CAST(t_next - t AS DOUBLE) / 1000000.0), 6)
+              AS DECIMAL(28,6)) AS wv
+  FROM seq WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(CAST(SUM(wv) AS DOUBLE)
+             / (CAST(SUM(dt_us) AS DOUBLE) / 1000000.0), 6) AS twap
+FROM seg
+GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", oracle=_TWAP_ORACLE, tags=("temporal", "agg"))
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each reading weighted by how
+    long it was current (interval to the next event), the correct mean
+    for irregularly sampled series — an arithmetic mean over-weights
+    bursts; TWAP is what metering, pricing (TWAP in trading), and
+    sensor rollups actually need.
+
+    Determinism: durations are exact integer microseconds; each
+    value·dt product is one identical double op rounded to 6 dp, then
+    summed EXACTLY in decimal; the final divide uses identical double
+    operands on both engines. Ordering ties break on event_id.
+
+    Scale: one window (single hash exchange on user_id) + one hash-agg
+    on the same key — AQE reuses the partitioning, so the whole TWAP
+    is ONE shuffle of the events table.
+    """
+    from pyspark.sql import Window
+
+    from ucl_data_pipeline_spark.functions.scalar import epoch_us
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = epoch_us("ts")
+    seq = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt_us = F.col("t_next") - F.col("t")
+    wv = F.round(
+        F.col("value") * (dt_us.cast("double") / 1_000_000.0), 6
+    ).cast("decimal(28,6)")
+    return (
+        seq.select("user_id", dt_us.alias("dt_us"), wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum("wv").cast("double")
+                / (F.sum("dt_us").cast("double") / 1_000_000.0),
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+       CAST(p.n AS BIGINT) AS n,
+       ROUND(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_transition
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
+@register(
+    "event_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("temporal", "agg")
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=to | current=from) with exact pair counts — the
+    behavioral-modeling primitive behind session prediction, funnel
+    drop-off analysis, and (on token streams) the bigram LM this
+    engine registers for text. Ties in the event ordering break on
+    event_id so the sequence is deterministic.
+
+    Scale: ONE window shuffle keyed by user_id produces every
+    adjacent pair; the count and row-normalization aggregates run on
+    the (from, to) domain — bounded by event-type cardinality squared,
+    not by row count.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the trade graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH und AS (  -- undirected simple edges: canonical (lo, hi), no loops
+  SELECT DISTINCT
+         LEAST(s.s_nationkey, c.c_nationkey) AS a,
+         GREATEST(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT n.n_nationkey AS node,
+       COALESCE(p.n_triangles, 0) AS n_triangles
+FROM nation n LEFT JOIN per_node p ON p.node = n.n_nationkey
+"""
+
+
+@register("triangle_count_trade", oracle=_TRIANGLE_ORACLE, tags=("graph", "join"))
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count on the undirected nation trade graph —
+    the clustering-coefficient numerator, the standard community-
+    structure signal (and the classic MapReduce graph benchmark). Uses
+    the node-iterator join: edges canonicalized to (lo < hi) so each
+    triangle (x<y<z) is enumerated exactly once as e(x,y)∧e(y,z)∧e(x,z),
+    then each of its three corners is credited.
+
+    Scale: the canonical ordering halves the edge table AND bounds the
+    wedge join — wedges form only at each edge's LOWER endpoint, the
+    standard degree-skew mitigation (a hub contributes wedges only for
+    its higher-id neighbors; full degree-ordering, ranking nodes by
+    degree instead of id, is the production refinement and changes
+    only the LEAST/GREATEST key). Edge derivation is the same
+    dim-broadcast fact aggregation as pagerank; the triangle joins run
+    on the aggregated 25-node edge table, not on facts.
+    """
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    und = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    per_node = corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    nodes = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

@@ -126,6 +126,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "shard_assignment_rendezvous",
     "robust_zscore_outliers",
     "token_pmi_pairs",
+    "time_weighted_avg",
+    "event_transition_matrix",
+    "triangle_count_trade",
     # code paths touched this round, re-verified ahead of the fallthrough:
     # view_click_interval_join uses the new shared epoch_s helper; the
     # rest read events through read_table's reworked NTZ-first path
