@@ -439,6 +439,30 @@ _N_SHARDS = 8
 # from both ids; argmax over shards with lowest-shard tie-break.
 _RDV_W = sql_knuth_bucket("d.doc_id * 31 + s.shard", 1_000_000)
 
+def rendezvous_pick(d: DataFrame, n_shards: int) -> DataFrame:
+    """(doc_id, shard) assignment by highest-random-weight hashing —
+    factored out so the minimal-relocation property (dropping a shard
+    moves ONLY the docs that lived on it) is unit-testable across
+    shard counts (tests/test_round4.py)."""
+    spark = d.sparkSession
+    shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    w = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        knuth_bucket(
+            F.col("doc_id") * 31 + F.col("shard"), 1_000_000
+        ).alias("wt"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("wt"), "shard")
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "shard")
+    )
+
+
 _RDV_ORACLE = f"""
 WITH s AS (
   SELECT unnest(generate_series(0, {_N_SHARDS - 1})) AS shard
@@ -477,22 +501,7 @@ def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, same width-safe arithmetic on both engines.
     """
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    shards = spark.range(_N_SHARDS).select(F.col("id").cast("int").alias("shard"))
-    w = d.crossJoin(F.broadcast(shards)).select(
-        "doc_id",
-        "shard",
-        knuth_bucket(
-            F.col("doc_id") * 31 + F.col("shard"), 1_000_000
-        ).alias("wt"),
-    )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy(F.desc("wt"), "shard")
-    pick = (
-        w.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "shard")
-    )
+    pick = rendezvous_pick(d, _N_SHARDS)
     return pick.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
