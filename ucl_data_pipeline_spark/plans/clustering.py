@@ -140,6 +140,23 @@ def _kmeans_parallel_init(pts: DataFrame, k: int) -> list[list[float]]:
     return picked
 
 
+def _seed_centers(pts: DataFrame) -> list[list[float]]:
+    """Literal seed centers = embeddings of vec_id 0..K-1, with the id
+    contract asserted: the oracles use ``cid = vec_id`` while the engine
+    uses LIST POSITION as the cluster id, so if any vec_id in 0..K-1
+    were absent the positional ids would silently shift off the
+    oracle's. The testdata generator guarantees dense ids; this guard
+    turns a would-be hash mismatch into an immediate error.
+    """
+    rows = pts.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    if ids != list(range(K)):
+        raise ValueError(
+            f"seed centers need vec_id exactly 0..{K - 1}, got {ids}"
+        )
+    return [list(r.embedding) for r in rows]
+
+
 _ASSIGN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -193,10 +210,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double("embedding").alias("embedding")
     )
-    centers = [
-        list(r.embedding)
-        for r in e.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
-    ]
+    centers = _seed_centers(e)
     d = _dists(centers)
     assigned = e.select(
         (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster_id"),
@@ -299,10 +313,7 @@ def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan) — worth one in-memory persist even at this scale; the
     # production loop (kmeans_clusters) does the same.
     pts = e.persist()
-    seeds = [
-        list(r.embedding)
-        for r in pts.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
-    ]
+    seeds = _seed_centers(pts)
 
     def lloyd_means(centers: list[list[float]]) -> DataFrame:
         d = _dists(centers)
@@ -336,6 +347,140 @@ def kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # iteration 2: same step from the fed-back centers, rounded output
     out = lloyd_means(cent1)
+    pts.unpersist()
+    return out.select(
+        "cluster_id",
+        "pos",
+        "n_points",
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
+def _lloyd_unrolled_oracle(n_iters: int) -> str:
+    """Oracle for n_iters Lloyd iterations from the vec_id<K seed
+    centers, fully unrolled as a CTE chain (dist_i → assigned_i →
+    newc_i → cent_i, feeding cent_i into dist_{i+1}) — the pagerank
+    unrolled-CTE trick applied to k-means. Centers between iterations
+    are exact-decimal means cast to double (identical operands on both
+    engines, no rounding), so the fed-back values are bit-identical.
+    """
+    d2 = (
+        "list_reduce(\n"
+        "           list_prepend(0.0,\n"
+        "             list_transform(generate_series(1, len(e.emb)),\n"
+        "               i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),\n"
+        "           (a, b) -> a + b)"
+    )
+    parts = [
+        "WITH e AS (",
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+        "), cent0 AS (",
+        f"  SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {K}",
+        ")",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", dist{i} AS (\n"
+            f"  SELECT e.vec_id, e.emb, c.cid, {d2} AS d2\n"
+            f"  FROM e CROSS JOIN cent{i - 1} c\n"
+            f"), assigned{i} AS (\n"
+            f"  SELECT vec_id, emb, cid FROM dist{i}\n"
+            f"  QUALIFY row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY d2, cid) = 1\n"
+            f")"
+        )
+        if i < n_iters:  # last assignment feeds the output, not a center
+            parts.append(
+                f", newc{i} AS (\n"
+                f"  SELECT cid, list(mean_val ORDER BY pos) AS cvec FROM (\n"
+                f"    SELECT a.cid, i AS pos,\n"
+                f"           CAST(SUM(CAST(a.emb[i] AS DECIMAL(18,9)))"
+                f" AS DOUBLE) / COUNT(*) AS mean_val\n"
+                f"    FROM assigned{i} a,"
+                f" unnest(generate_series(1, len(a.emb))) AS t(i)\n"
+                f"    GROUP BY a.cid, i\n"
+                f"  ) GROUP BY cid\n"
+                f"), cent{i} AS (\n"
+                f"  SELECT c0.cid, COALESCE(n.cvec, c0.cvec) AS cvec\n"
+                f"  FROM cent{i - 1} c0 LEFT JOIN newc{i} n ON c0.cid = n.cid\n"
+                f")"
+            )
+    parts.append(
+        f"""
+SELECT
+  CAST(a.cid AS INTEGER) AS cluster_id,
+  CAST(i - 1 AS INTEGER) AS pos,
+  COUNT(*) AS n_points,
+  ROUND(CAST(SUM(CAST(a.emb[i] AS DECIMAL(18,9))) AS DOUBLE)
+    / COUNT(*), 6) AS mean_val
+FROM assigned{n_iters} a, unnest(generate_series(1, len(a.emb))) AS t(i)
+GROUP BY a.cid, i"""
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_lloyd5",
+    oracle=_lloyd_unrolled_oracle(ITERATIONS),
+    tags=("vector", "llm", "agg"),
+)
+def kmeans_lloyd5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIVE oracle-checked Lloyd iterations unrolled from the literal
+    seed centers — the full ``ITERATIONS`` count ``kmeans_clusters``
+    runs, so the production loop body is now hash-verified at its
+    actual depth (``kmeans_assign`` = 1 step, ``kmeans_lloyd2`` = 2;
+    this closes the ladder: ``kmeans_clusters`` differs only in its
+    k-means|| seeding). The oracle is generated by
+    ``_lloyd_unrolled_oracle`` — a dist/assign/recenter CTE block per
+    iteration, empty clusters carrying their center forward.
+
+    Cross-engine determinism: identical to kmeans_lloyd2 — exact-
+    decimal center means (one IEEE division, identical operands), d2
+    folded from 0.0 in identical order, argmin ties to the lowest cid,
+    output means rounded at 6 dp only at the end.
+
+    Scale shape: per iteration one narrow literal-centers projection
+    plus one (cluster, dim)-keyed map-side-combinable hash-agg; only
+    k×dim doubles cross the driver between iterations; the point set
+    is persisted once across all five passes.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double("embedding").alias("embedding")
+    )
+    pts = e.persist()
+    centers = _seed_centers(pts)
+
+    def lloyd_means(cs: list[list[float]]) -> DataFrame:
+        d = _dists(cs)
+        return (
+            pts.select(
+                (F.array_position(d, F.array_min(d)) - 1)
+                .cast("int")
+                .alias("cluster_id"),
+                "embedding",
+            )
+            .select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.count("*").alias("n_points"),
+                (
+                    F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                ).alias("mean_val"),
+            )
+        )
+
+    for _ in range(ITERATIONS - 1):
+        new: dict[int, dict[int, float]] = {}
+        for row in lloyd_means(centers).collect():
+            new.setdefault(row.cluster_id, {})[row.pos] = row.mean_val
+        centers = [
+            [new[cid][p] for p in sorted(new[cid])]
+            if cid in new
+            else centers[cid]
+            for cid in range(len(centers))
+        ]
+    out = lloyd_means(centers)
     pts.unpersist()
     return out.select(
         "cluster_id",

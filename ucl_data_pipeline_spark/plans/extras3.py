@@ -530,7 +530,8 @@ SELECT e.event_id, e.event_type,
 FROM events e
 JOIN med m USING (event_type)
 JOIN mad d USING (event_type)
-WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 2.5
+WHERE d.mad > 0
+  AND abs((e.value - m.med) / (1.4826 * d.mad)) > 2.5
 """
 
 
@@ -568,9 +569,13 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mad")
     )
     z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    # MAD = 0 (a group where >50% of values are identical) would make z
+    # divide by zero — non-ANSI Spark NULL-drops such rows, ANSI throws,
+    # DuckDB yields inf; excluding the degenerate groups explicitly (and
+    # identically in the oracle) keeps all three deterministic.
     return (
         with_med.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(z) > 2.5)
+        .filter((F.col("mad") > 0) & (F.abs(z) > 2.5))
         .select(
             "event_id",
             "event_type",
@@ -622,8 +627,9 @@ CROSS JOIN n
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of document-level token
     co-occurrence: PMI(a,b) = log2(co·N / (df_a·df_b)) for mid-df
-    tokens (df 25-200 — stop words excluded by the ceiling, noise by
-    the floor) with co-occurrence ≥ 10. The classical collocation /
+    tokens (df in [_PMI_MIN_DF, _PMI_MAX_DF] = [25, 450] — stop words
+    excluded by the ceiling, noise by the floor) with co-occurrence
+    ≥ _PMI_MIN_CO = 50. The classical collocation /
     phrase-mining signal a text pipeline feeds into tokenizer-merge or
     feature engineering decisions.
 

@@ -65,8 +65,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             return spark.read.parquet(path)
-        except Exception:
-            return _read_events_legacy_nanos(spark, path)
+        except Exception as exc:
+            # Only the TIMESTAMP(NANOS) schema rejection goes through the
+            # legacy fallback; any other failure (missing file, corrupt
+            # footer, permissions) re-raises unchanged so the real error
+            # surfaces instead of a confusing second-attempt one.
+            msg = str(exc)
+            if "NANOS" in msg or "Illegal Parquet type" in msg:
+                return _read_events_legacy_nanos(spark, path)
+            raise
     return spark.read.parquet(path)
 
 
