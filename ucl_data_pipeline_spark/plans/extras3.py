@@ -301,13 +301,19 @@ def percentile_cont_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Reuse the exact spellings from llm_ops so the oracle stays literally
 # in sync with the two queries it grades.
-from ucl_data_pipeline_spark.plans.llm_ops import _SQL_BUCKET, _SQL_COS  # noqa: E402
+from ucl_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    _SQL_BUCKET,
+    _SQL_COS,
+    _TOPK_MAX_QUERIES,
+)
 
 _RECALL_ORACLE = f"""
 WITH exact3 AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM embeddings q
-  JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+  JOIN embeddings c
+    ON q.vec_id % 100 = 0 AND q.vec_id < {100 * _TOPK_MAX_QUERIES}
+   AND c.vec_id <> q.vec_id
   QUALIFY row_number() OVER (
     PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 3
 ), approx3 AS (
@@ -851,19 +857,27 @@ FROM nation n LEFT JOIN per_node p ON p.node = n.n_nationkey
 def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count on the undirected nation trade graph —
     the clustering-coefficient numerator, the standard community-
-    structure signal (and the classic MapReduce graph benchmark). Uses
-    the node-iterator join: edges canonicalized to (lo < hi) so each
-    triangle (x<y<z) is enumerated exactly once as e(x,y)∧e(y,z)∧e(x,z),
-    then each of its three corners is credited.
+    structure signal (and the classic MapReduce graph benchmark).
+    DEGREE-ORDERED compact-forward enumeration: edges are re-directed
+    from the lower to the higher endpoint in the total order
+    (degree, node) — no global rank window needed, the tuple compares
+    directly — and wedges form ONLY at each edge's source, i.e. at the
+    triangle's LOWEST-DEGREE corner. Each wedge pair then probes the
+    directed edge set once; since exactly one direction of (y, z)
+    exists, each triangle is matched exactly once with no ordering
+    filter.
 
-    Scale: the canonical ordering halves the edge table AND bounds the
-    wedge join — wedges form only at each edge's LOWER endpoint, the
-    standard degree-skew mitigation (a hub contributes wedges only for
-    its higher-id neighbors; full degree-ordering, ranking nodes by
-    degree instead of id, is the production refinement and changes
-    only the LEAST/GREATEST key). Edge derivation is the same
-    dim-broadcast fact aggregation as pagerank; the triangle joins run
-    on the aggregated 25-node edge table, not on facts.
+    Scale: this is the real skew killer on power-law graphs — a hub of
+    degree d contributes wedges only for the (few) neighbors that
+    outrank it, so per-node wedge work is bounded by the h-index-like
+    quantity min(d, #higher-degree-neighbors)², not d²; total work is
+    O(E^1.5) worst-case (Chiba–Nishizeki bound) instead of Σd². The
+    degree table is node-sized (broadcast); the O(V log V) order is
+    implicit in the tuple comparison — no sort materialized. Edge
+    derivation is the same dim-broadcast fact aggregation as pagerank;
+    the triangle joins run on the aggregated 25-node edge table, not on
+    facts. The oracle is enumeration-order invariant (per-node counts),
+    so the id-canonical SQL grades this plan unchanged.
     """
     l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -880,10 +894,32 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Re-direct each edge from the lower to the higher endpoint in the
+    # (degree, node) total order; deg is node-sized → broadcast twice.
+    with_deg = und.join(
+        F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))),
+        "b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    dir_e = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = dir_e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    w2 = dir_e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    e3 = dir_e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = w1.join(w2, "x").filter(F.col("y") != F.col("z")).join(e3, ["y", "z"])
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

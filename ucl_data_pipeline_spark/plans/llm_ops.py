@@ -594,31 +594,44 @@ _SQL_COS = (
     " CAST(c.embedding AS DOUBLE[]))), 0.0)"
 )
 
+# Hard structural cap on the brute-force baseline's query side: the
+# all-pairs scan is the EXACTNESS BASELINE (ann_recall_* gates measure
+# every index against it), never the production path — so it must be
+# impossible to invoke unbounded. Cost is O(_TOPK_MAX_QUERIES · n) — a
+# bounded number of broadcast rows against one candidate scan — no
+# matter how large the corpus grows.
+_TOPK_MAX_QUERIES = 64
+
 _TOPK_ORACLE = f"""
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
 FROM embeddings q
-JOIN embeddings c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+JOIN embeddings c
+  ON q.vec_id % 100 = 0 AND q.vec_id < {100 * _TOPK_MAX_QUERIES}
+ AND c.vec_id <> q.vec_id
 QUALIFY row_number() OVER (
   PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id) <= 5
 """
 
 
-@register("embedding_topk_cosine", oracle=_TOPK_ORACLE, tags=("vector", "llm"))
-def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (k=5) for a query subset — the exact
-    baseline every ANN variant is measured against. Queries are tiny →
-    broadcast them and stream the candidate side; per-query top-k via
-    ranking window. Scale: O(|queries|·n) with no shuffle of the
-    candidate table (broadcast + window on query_id).
+def brute_force_topk(
+    e: DataFrame, queries: DataFrame, k: int, max_queries: int
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` (query_id, q_emb) against the
+    corpus ``e`` (vec_id, embedding). ``max_queries`` is REQUIRED: the
+    query side is truncated to deterministically-lowest ``max_queries``
+    ids before the broadcast, so the O(q·n) product is bounded by
+    construction — there is no unbounded all-pairs spelling of this
+    operator. Candidates stream (broadcast join, no shuffle); per-query
+    top-k via a ranking window keyed by query_id.
     """
     from ucl_data_pipeline_spark.sources.io import fan_out
 
-    e = read_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    q = queries.orderBy("query_id").limit(max_queries)
     c = fan_out(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
     )
     sim = VX.cosine("q_emb", "c_emb")
     w = Window.partitionBy("query_id").orderBy(
@@ -628,9 +641,33 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+@register(
+    "embedding_topk_cosine", oracle=_TOPK_ORACLE, tags=("vector", "llm", "baseline")
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for a BOUNDED query sample — the
+    exact baseline every ANN variant is measured against (see
+    ann_recall_*). The query side is structurally capped at
+    ``_TOPK_MAX_QUERIES`` (sampling predicate + id ceiling, mirrored in
+    the oracle, plus ``brute_force_topk``'s required ``max_queries``
+    truncation), so the plan is O(cap·n) — one candidate scan against a
+    fixed-size broadcast — at any corpus size; it cannot be invoked as
+    an unbounded all-pairs join. Tagged ``baseline`` so bench surfaces
+    it as a baseline-only entry.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") < 100 * _TOPK_MAX_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(e, q, k=5, max_queries=_TOPK_MAX_QUERIES)
 
 
 _SQL_BUCKET = (
