@@ -42,6 +42,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ucl_data_pipeline_spark.plans import REGISTRY
 
+# Per-query best-ever isolated timings (regression tracker). Seeded in
+# round 5 from a full fresh-JVM chunked run at sf0.1; every subsequent
+# full run flags queries >1.5x their best prior number in the output
+# JSON ("regressions") and ratchets the stored best downward — drift
+# can never hide for a round again. History is only consulted/updated
+# for full-suite runs at the default sf0.1 (subset and off-SF runs
+# aren't comparable).
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+)
+REGRESSION_RATIO = 1.5
+
+
+def _load_history() -> dict:
+    try:
+        with open(HISTORY_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"epoch": None, "best": {}}
+
+
+def _flag_and_update_history(timings: dict[str, float], sf: float | None):
+    """Return the regression list and ratchet the stored bests."""
+    hist = _load_history()
+    if sf != hist.get("sf", 0.1):
+        return None  # not comparable to the stored epoch
+    best = hist.setdefault("best", {})
+    regressions = []
+    for name, t in timings.items():
+        b = best.get(name)
+        if b is not None and b > 0 and t > REGRESSION_RATIO * b:
+            regressions.append(
+                {
+                    "query": name,
+                    "sec": t,
+                    "best_sec": b,
+                    "ratio": round(t / b, 2),
+                }
+            )
+        if b is None or t < b:
+            best[name] = t
+    regressions.sort(key=lambda r: -r["ratio"])
+    try:
+        with open(HISTORY_PATH, "w") as f:
+            json.dump(hist, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: still report, just don't ratchet
+    return regressions
+
 
 def _sf_of(sf_dir: str) -> float | None:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -163,21 +212,22 @@ def main() -> None:
             timings = _run_in_process(names, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "engine_query_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-                "n_queries": len(timings),
-                # Total grows with operator coverage; mean is the
-                # coverage-independent engine-speed number.
-                "mean_query_sec": round(total / max(1, len(timings)), 4),
-            }
-        )
-    )
+    out = {
+        "metric": "engine_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        # Total grows with operator coverage; mean is the
+        # coverage-independent engine-speed number.
+        "mean_query_sec": round(total / max(1, len(timings)), 4),
+    }
+    if not subset:
+        regressions = _flag_and_update_history(timings, out["sf"])
+        if regressions is not None:
+            out["regressions"] = regressions
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -144,3 +144,75 @@ def test_enrich_pipeline_streams_available_now(spark, dims, tmp_path):
     assert got2.count() - got1.count() == 1  # exactly the increment
     assert len(inc) == 1
     assert inc[0].home_team == "Manchester City"  # name map on the increment
+
+
+def test_hist_upcoming_incremental_equals_full_recompute(spark, dims, tmp_path):
+    """The reference's daily-rerun semantic (pipeline.yml:5-7: re-fetch
+    everything, rebuild HIST/UPCOMING, overwrite) proven equivalent to
+    the engine's incremental model: a resumed AvailableNow run over
+    ONLY the newly landed matchday CSV must leave the HIST sink equal,
+    row for row, to a from-scratch batch recompute over all inputs —
+    and the same for the UPCOMING projection over a fixtures stream.
+    Equality (not just count) is the assertion: enrich + conform are
+    per-row and stream-static joins, so increment-append == recompute
+    exactly.
+    """
+    from ucl_data_pipeline_spark.operators.pipeline import (
+        build_hist,
+        build_upcoming,
+    )
+
+    name_map, teams, stadiums, refs, injuries, lineups, xg = dims
+
+    def enrich(fact):
+        return enrich_matches(
+            fact, name_map, teams, stadiums, refs, injuries, lineups, xg
+        )
+
+    cases = {
+        # results feed -> HIST; fixtures feed (no goals yet) -> UPCOMING
+        "hist": (build_hist, ["2025-09-18,Liverpool,Bayern,2,1"],
+                 ["2025-09-19,Man City,Liverpool,0,0"]),
+        "upcoming": (build_upcoming, ["2025-09-18,Liverpool,Bayern,,"],
+                     ["2025-09-19,Man City,Liverpool,,"]),
+    }
+    for label, (project, batch1, batch2) in cases.items():
+        in_dir = tmp_path / f"in_{label}"
+        in_dir.mkdir()
+        out_dir = str(tmp_path / f"out_{label}")
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        _write_batch(str(in_dir / "batch1.csv"), batch1)
+
+        def run_increment():
+            q = (
+                project(
+                    enrich(
+                        spark.readStream.schema(_FACT_SCHEMA)
+                        .option("header", "true")
+                        .csv(str(in_dir))
+                    )
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir)
+
+        run_increment()  # day 1
+        _write_batch(str(in_dir / "batch2.csv"), batch2)  # new matchday
+        got = run_increment()  # day 2: processes ONLY batch2
+
+        full = project(
+            enrich(
+                spark.read.schema(_FACT_SCHEMA)
+                .option("header", "true")
+                .csv(str(in_dir))
+            )
+        )
+        assert sorted(got.columns) == sorted(full.columns), label
+        assert _sorted_rows(got) == _sorted_rows(full), label
+        assert got.count() == 2, label

@@ -256,15 +256,21 @@ def enrich_matches(
 
 def build_hist(enriched: DataFrame) -> DataFrame:
     """Final 20-column HIST projection in canonical order (reference
-    scripts/build_hist_and_upcoming.py:8-14,24-30), sorted by date."""
+    scripts/build_hist_and_upcoming.py:8-14,24-30), sorted by date.
+    On a streaming input the sort is skipped: a global order is
+    undefined for an unbounded append sink (and rejected by Spark),
+    and the reference's CSV ordering is presentation-only."""
     from ucl_data_pipeline_spark.sources.io import conform
 
-    return conform(enriched, HIST_MATCHES).orderBy("date")
+    out = conform(enriched, HIST_MATCHES)
+    return out if out.isStreaming else out.orderBy("date")
 
 
 def build_upcoming(enriched: DataFrame) -> DataFrame:
     """Final 18-column UPCOMING projection (reference
-    scripts/build_hist_and_upcoming.py:16-21), sorted by date."""
+    scripts/build_hist_and_upcoming.py:16-21), sorted by date; the
+    sort is skipped on streaming inputs (see build_hist)."""
     from ucl_data_pipeline_spark.sources.io import conform
 
-    return conform(enriched, UPCOMING_FIXTURES).orderBy("date")
+    out = conform(enriched, UPCOMING_FIXTURES)
+    return out if out.isStreaming else out.orderBy("date")

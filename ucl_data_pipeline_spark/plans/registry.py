@@ -86,64 +86,70 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-4 priority: (1) the four round-3 red rows, now fixed with
-# oracle-side dtype CASTs (BIGINT token sums; string-typed checksum) —
-# the fix itself needs a green driver row; (2) the 10 queries that have
-# never had a driver CORRECTNESS row (added in round 3 past the 50-slot
-# budget); (3) round-4-new queries as they land. Everything else has a
-# green row from rounds 1-3 and rotates to the back (cumulative driver
-# coverage: 139/149 checked, 132 green entering round 4).
+# Round-5 priority: (1) new registrations (TPC-H Q6/Q12/Q15 completing
+# the 22/22 sweep, kmeans_lloyd5 full-depth unrolled oracle, the three
+# new ANN recall gates, the sketch-based robust z-score); (2) queries
+# whose code or oracle changed this round (bounded brute-force
+# baseline + its recall gate's synced oracle spelling, degree-ordered
+# triangle counting, MAD=0 guard, kmeans seed-id assert); (3) the
+# stalest green rows — queries last driver-checked in round 1 — so the
+# 50-slot budget refreshes cumulative coverage oldest-first. Everything
+# later in the dict has a green row from rounds 2-4 (cumulative: all
+# 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
-    # round-3 red rows, fixed: oracle aggregate dtype casts
-    "unigram_entropy",
-    "domain_mixture_weights",
-    "train_val_test_split",
-    "checksum_table",
-    # never driver-checked (round-3 additions past the slot budget)
-    "as_of_join_nearest",
-    "decontaminate_docs",
-    "dedup_fuzzy_edit_distance",
-    "ewma_bounded",
-    "grouping_id_surface",
-    "incremental_agg_merge",
-    "map_ho_functions",
-    "mode_per_group",
-    "pareto_frontier_parts",
-    "percentile_disc_surface",
-    # round-4 additions get slots here as they land
-    "kmeans_lloyd2",
-    "copurchase_pairs",
-    "k_anonymity_check",
-    "inverted_index_postings",
-    "regr_ols_surface",
-    "percentile_cont_surface",
-    "ann_recall_at_3",
-    "dedup_cross_snapshot",
-    # rows-only → exact this round: the stub decode's features re-derived
-    # in SQL, so the mapInPandas stage itself is now hash-verified
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "shard_assignment_rendezvous",
-    "robust_zscore_outliers",
-    "token_pmi_pairs",
-    "time_weighted_avg",
-    "event_transition_matrix",
+    # new in round 5
+    "forecast_revenue_change",
+    "late_shipment_priority",
+    "top_supplier_revenue",
+    "kmeans_lloyd5",
+    "ann_recall_ivf_at_3",
+    "ann_recall_sq8_at_3",
+    "ann_recall_pq_at_3",
+    "robust_zscore_outliers_approx",
+    # code/oracle touched in round 5
+    "embedding_topk_cosine",
     "triangle_count_trade",
-    # code paths touched this round, re-verified ahead of the fallthrough:
-    # view_click_interval_join uses the new shared epoch_s helper; the
-    # rest read events through read_table's reworked NTZ-first path
-    "view_click_interval_join",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "dedup_events_first",
-    "gap_fill_daily",
-    "linear_interpolate",
-    "json_props_extract",
-    "user_event_sequences",
-    "map_functions",
-    "sessionize_gaps_islands",
-    "hypertable_rollup",
+    "robust_zscore_outliers",
+    "ann_recall_at_3",
+    "kmeans_assign",
+    "kmeans_lloyd2",
+    "token_pmi_pairs",
+    # stalest green rows (last checked round 1), oldest-first refresh
+    "anti_join_no_orders",
+    "bpe_token_count",
+    "conditional_agg",
+    "count_distinct_agg",
+    "cube_status_priority",
+    "date_parse_multi",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_first_wins",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "except_nations",
+    "group_agg_basic",
+    "grouping_sets_status_priority",
+    "haversine_travel",
+    "hybrid_two_seasons",
+    "intersect_nations",
+    "label_centroids",
+    "lang_id_heuristic",
+    "lead_and_share_of_total",
+    "minhash_signatures",
+    "moving_avg_frame",
+    "name_regex_strip",
+    "rank_customers_by_balance",
+    "rank_function_surface",
+    "rest_days_lag",
+    "rollup_region_nation",
+    "sort_limit_topn",
+    "text_quality_score",
+    "text_token_stats",
+    "union_all_entities",
+    "window_top2_per_key",
+    "zscore_by_group",
 )
 
 
