@@ -97,6 +97,21 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (second session batch)
+    "cumulative_distinct_users",
+    "gini_revenue_concentration",
+    "welch_ttest_promo",
+    "weighted_sample_ares",
+    "neighbor_jaccard_nodes",
+    "rolling_median_frame",
+    "ohlc_resample_hourly",
+    "cusum_drift_daily",
+    "autocorr_daily_revenue",
+    "benford_first_digit",
+    "minhash_jaccard_error",
+    "doc_bigram_likelihood",
+    "quantile_normalize_feature",
+    "interval_union_coverage",
     # new in round 5
     "forecast_revenue_change",
     "late_shipment_priority",
