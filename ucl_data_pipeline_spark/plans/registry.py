@@ -129,7 +129,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "kmeans_assign",
     "kmeans_lloyd2",
     "token_pmi_pairs",
-    # stalest green rows (last checked round 1), oldest-first refresh
+    # stalest green rows (last checked round 1), oldest-first refresh —
+    # trimmed to keep the full priority list inside the driver's 50-slot
+    # checked prefix (the 14 dropped round-1 names roll into the next
+    # round's refresh rotation).
     "anti_join_no_orders",
     "bpe_token_count",
     "conditional_agg",
@@ -151,20 +154,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "intersect_nations",
     "label_centroids",
     "lang_id_heuristic",
-    "lead_and_share_of_total",
-    "minhash_signatures",
-    "moving_avg_frame",
-    "name_regex_strip",
-    "rank_customers_by_balance",
-    "rank_function_surface",
-    "rest_days_lag",
-    "rollup_region_nation",
-    "sort_limit_topn",
-    "text_quality_score",
-    "text_token_stats",
-    "union_all_entities",
-    "window_top2_per_key",
-    "zscore_by_group",
 )
 
 
