@@ -543,7 +543,8 @@ tot AS (
 SELECT day,
        CAST(rev AS DOUBLE) AS revenue,
        ROUND(CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE)
-             - ROW_NUMBER() OVER (ORDER BY day) * (SELECT mu FROM tot), 6)
+             - ROW_NUMBER() OVER (ORDER BY day)
+               * ROUND((SELECT mu FROM tot), 6), 6)
          AS cusum
 FROM daily
 """
@@ -578,9 +579,13 @@ def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             F.col("rev").cast("double").alias("revenue"),
+            # i·μ uses the 6dp-ROUNDED mean: the raw division could put
+            # exact_running_sum − i·μ exactly on a 6dp half-boundary
+            # where the engines' ROUND disagree; i × (6dp decimal)
+            # keeps the result within 1 ulp of an exact 6dp value.
             F.round(
                 F.sum("rev").over(w).cast("double")
-                - F.row_number().over(wr) * F.col("mu"),
+                - F.row_number().over(wr) * F.round(F.col("mu"), 6),
                 6,
             ).alias("cusum"),
         )

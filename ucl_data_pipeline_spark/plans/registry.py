@@ -97,6 +97,15 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (third session batch)
+    "seasonal_dow_decompose",
+    "weekly_revenue_growth",
+    "conversion_wilson_ci",
+    "corr_matrix_lineitem",
+    "ols_slope_per_nation",
+    "psi_price_drift",
+    "weighted_median_price",
+    "langid_confusion_f1",
     # new in round 5 (second session batch)
     "cumulative_distinct_users",
     "gini_revenue_concentration",
@@ -146,14 +155,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "doc_fingerprint",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
-    "except_nations",
-    "group_agg_basic",
-    "grouping_sets_status_priority",
-    "haversine_travel",
-    "hybrid_two_seasons",
-    "intersect_nations",
-    "label_centroids",
-    "lang_id_heuristic",
 )
 
 
