@@ -79,6 +79,26 @@ SHOWCASE = [
     ("shard_assignment_rendezvous", "HRW placement: weight scoring over a "
      "broadcast shard grid — no data shuffle to score, argmax window + "
      "one audit agg"),
+    ("weighted_median_price", "weighted median without the few-heavy-groups "
+     "trap: per-(group, value) hash-agg first, cumulative window over "
+     "DISTINCT values only — never a row-level sort of a fact-sized group"),
+    ("welch_ttest_promo", "two-sample t-test: part dim broadcast, ONE "
+     "keyless conditional hash-agg (six buffers) — each partition reduces "
+     "to one row before a 1-row exchange"),
+    ("corr_matrix_lineitem", "4-column correlation matrix from one 15-buffer "
+     "sufficient-statistics pass; stack unpivot over the single stats row"),
+    ("interval_union_coverage", "interval merge via gaps-and-islands: two "
+     "windows + two aggs inside ONE user_id exchange, no self-join"),
+    ("minhash_jaccard_error", "sketch-quality gate: estimate and exact "
+     "Jaccard side by side on LSH candidates only — equi-join on band keys, "
+     "never all-pairs"),
+    ("doc_bigram_likelihood", "bigram LM scoring: zipped-adjacent explode "
+     "scan-side; model joins keyed by the bigram reuse its shuffle; V is a "
+     "1-row broadcast"),
+    ("weighted_sample_ares", "deterministic weighted sampling: md5-hash "
+     "scoring at the scan, TakeOrderedAndProject top-k — no global sort"),
+    ("cumulative_distinct_users", "expanding COUNT DISTINCT rewritten "
+     "linear: per-user MIN hash-agg, then a calendar-bounded running sum"),
 ]
 
 
