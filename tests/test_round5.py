@@ -1,0 +1,314 @@
+"""Intrinsic-property tests for the round-5 session operators (oracle
+equality is covered by verify_local / test_queries_oracle; these pin
+the semantic claims the docstrings make, against independent
+recomputation where practical).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from ucl_data_pipeline_spark.plans import REGISTRY
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# Inequality / interval bounds
+# ---------------------------------------------------------------------------
+
+
+def test_gini_bounds(spark):
+    rows = _run(spark, "gini_revenue_concentration").collect()
+    assert rows
+    for r in rows:
+        # Gini of positive values lies in [0, 1 - 1/n]
+        assert 0.0 <= r.gini <= 1.0 - 1.0 / r.n_customers + 1e-9
+        assert r.total_revenue > 0
+
+
+def test_wilson_ci_orders_p_hat(spark):
+    rows = _run(spark, "conversion_wilson_ci").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0
+        # Wilson never collapses to zero width on finite n
+        assert r.ci_hi - r.ci_lo > 0
+
+
+def test_autocorr_in_unit_interval(spark):
+    (r,) = _run(spark, "autocorr_daily_revenue").collect()
+    assert -1.0 <= r.lag1_autocorr <= 1.0
+    assert r.n_pairs > 0
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: crossing property against a pandas recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_crossing(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    got = {r.flag: r for r in _run(spark, "weighted_median_price").collect()}
+    pdf = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        g = grp.sort_values("l_extendedprice")
+        tot = g["l_quantity"].sum()
+        cum = g["l_quantity"].cumsum()
+        expect = g.loc[cum >= tot / 2, "l_extendedprice"].iloc[0]
+        assert math.isclose(got[flag].weighted_median, expect, rel_tol=0)
+        assert math.isclose(got[flag].total_weight, tot, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage bounds
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coverage_bounds(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    cov = {r.user_id: r for r in _run(spark, "interval_union_coverage").collect()}
+    n_by_user = {
+        r.user_id: r.n
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(cov) == set(n_by_user)
+    for uid, r in cov.items():
+        # each island is at least one full ±5min window; coverage can
+        # never exceed the no-overlap sum
+        assert r.n_islands >= 1
+        assert r.covered_seconds >= 600.0 * r.n_islands - 1e-6
+        assert r.covered_seconds <= 600.0 * n_by_user[uid] + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: exact rank grid per group
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_norm_grid(spark):
+    rows = _run(spark, "quantile_normalize_feature").collect()
+    by_src: dict[str, list[float]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.quantile_norm)
+    for src, qs in by_src.items():
+        n = len(qs)
+        expect = sorted(round((i + 0.5) / n, 6) for i in range(n))
+        assert sorted(qs) == expect, src
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling: reproducibility + rank contract
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_reproducible(spark):
+    a = _run(spark, "weighted_sample_ares").collect()
+    b = _run(spark, "weighted_sample_ares").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    ranks = sorted(r.sample_rank for r in a)
+    assert ranks == list(range(1, len(a) + 1))
+    assert all(0.0 < r.u_hash < 1.0 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: cumulative distinct users
+# ---------------------------------------------------------------------------
+
+
+def test_cumulative_distinct_users_total(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = sorted(
+        _run(spark, "cumulative_distinct_users").collect(), key=lambda r: r.day
+    )
+    total = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_users == total
+    assert sum(r.new_users for r in rows) == total
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)  # monotone
+
+
+# ---------------------------------------------------------------------------
+# CUSUM telescopes to ~zero at the series end
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_final_near_zero(spark):
+    rows = sorted(_run(spark, "cusum_drift_daily").collect(), key=lambda r: r.day)
+    n = len(rows)
+    # last cusum = Σx − n·round6(μ): bounded by the μ rounding alone
+    assert abs(rows[-1].cusum) <= n * 5e-7 * max(1.0, abs(rows[-1].revenue)) + n * 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition reconstructs the series
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_reconstructs(spark):
+    for r in _run(spark, "seasonal_dow_decompose").collect():
+        assert 0 <= r.dow <= 6
+        assert math.isclose(
+            r.dow_mean + r.residual, r.revenue, rel_tol=0, abs_tol=2e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# Benford audit: shares sum to one, expectation formula pinned
+# ---------------------------------------------------------------------------
+
+
+def test_benford_shares(spark):
+    rows = _run(spark, "benford_first_digit").collect()
+    assert abs(sum(r.observed_pct for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert math.isclose(
+            r.benford_pct, round(math.log10(1 + 1 / r.digit), 6), abs_tol=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# PSI: smoothed shares are proper distributions
+# ---------------------------------------------------------------------------
+
+
+def test_psi_shares_proper(spark):
+    rows = _run(spark, "psi_price_drift").collect()
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.p_ref > 0 and r.p_cur > 0
+        assert math.isfinite(r.psi_contrib)
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix vs pandas
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_matches_pandas(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    got = {(r.col_a, r.col_b): r.corr for r in _run(spark, "corr_matrix_lineitem").collect()}
+    pdf = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    for (a, b), c in got.items():
+        assert abs(c) <= 1.0
+        assert math.isclose(c, pdf[a].corr(pdf[b]), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test vs a numpy recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_numpy(spark):
+    import numpy as np
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    (r,) = _run(spark, "welch_ttest_promo").collect()
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = read_table(spark, SF_SMOKE, "part").select("p_partkey", "p_type")
+    pdf = li.join(p, li.l_partkey == p.p_partkey).toPandas()
+    promo = pdf.loc[
+        pdf.p_type.str.startswith("PROMO"), "l_extendedprice"
+    ].to_numpy()
+    other = pdf.loc[
+        ~pdf.p_type.str.startswith("PROMO"), "l_extendedprice"
+    ].to_numpy()
+    assert (r.n_promo, r.n_other) == (len(promo), len(other))
+    v1 = promo.var(ddof=1) / len(promo)
+    v0 = other.var(ddof=1) / len(other)
+    t = (promo.mean() - other.mean()) / np.sqrt(v1 + v0)
+    df = (v1 + v0) ** 2 / (v1**2 / (len(promo) - 1) + v0**2 / (len(other) - 1))
+    assert math.isclose(r.t_stat, t, abs_tol=1e-4)
+    assert math.isclose(r.welch_df, df, rel_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MinHash error gate: columns are internally consistent
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_error_gate_consistency(spark):
+    rows = _run(spark, "minhash_jaccard_error").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert math.isclose(
+            r.abs_err, round(abs(r.est_jaccard - r.exact_jaccard), 6), abs_tol=2e-6
+        )
+        assert r.doc_a < r.doc_b
+
+
+# ---------------------------------------------------------------------------
+# Language-ID F1: confusion identities
+# ---------------------------------------------------------------------------
+
+
+def test_langid_f1_identities(spark):
+    rows = _run(spark, "langid_confusion_f1").collect()
+    preds = _run(spark, "lang_id_heuristic").collect()
+    labeled = {}
+    detected = {}
+    for p in preds:
+        labeled[p.labeled_lang] = labeled.get(p.labeled_lang, 0) + 1
+        detected[p.detected_lang] = detected.get(p.detected_lang, 0) + 1
+    for r in rows:
+        assert r.tp + r.fn == labeled.get(r.cls, 0)
+        assert r.tp + r.fp == detected.get(r.cls, 0)
+        if r.precision_ is not None and r.recall_ is not None and (
+            r.precision_ + r.recall_
+        ) > 0:
+            harm = 2 * r.precision_ * r.recall_ / (r.precision_ + r.recall_)
+            assert math.isclose(r.f1, harm, abs_tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM: probabilities are proper, bigram counts match token counts
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_likelihood_proper(spark):
+    from ucl_data_pipeline_spark.functions import text as TX
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.doc_id: r for r in _run(spark, "doc_bigram_likelihood").collect()}
+    toks = {
+        r.doc_id: r.n
+        for r in read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(TX.tokens("text")).alias("n"))
+        .collect()
+    }
+    assert rows
+    for doc_id, r in rows.items():
+        assert 0.0 < r.avg_bigram_prob < 1.0
+        assert r.n_bigrams == toks[doc_id] - 1
