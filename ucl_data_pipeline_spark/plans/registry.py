@@ -97,6 +97,13 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (fourth session batch)
+    "ann_ndcg_at_10",
+    "assoc_rules_lift",
+    "iqr_outlier_fences",
+    "rfm_segmentation",
+    "ship_latency_quantiles",
+    "embedding_centroid_shift",
     # new in round 5 (third session batch)
     "seasonal_dow_decompose",
     "weekly_revenue_growth",
@@ -149,12 +156,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "cube_status_priority",
     "date_parse_multi",
     "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_first_wins",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
 )
 
 
