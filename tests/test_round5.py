@@ -312,3 +312,128 @@ def test_bigram_likelihood_proper(spark):
     for doc_id, r in rows.items():
         assert 0.0 < r.avg_bigram_prob < 1.0
         assert r.n_bigrams == toks[doc_id] - 1
+
+
+# ---------------------------------------------------------------------------
+# NDCG gate: bounds and ideal-ranking consistency
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_bounds(spark):
+    rows = _run(spark, "ann_ndcg_at_10").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rel <= 10
+        if r.n_rel == 0:
+            assert r.ndcg_at_10 is None
+        else:
+            assert 0.0 < r.ndcg_at_10 <= 1.0 + 1e-9
+            if r.n_rel == 10:  # all relevant → any order is ideal
+                assert math.isclose(r.ndcg_at_10, 1.0, abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Association rules: metric identities vs raw counts
+# ---------------------------------------------------------------------------
+
+
+def test_assoc_rules_identities(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "assoc_rules_lift").collect()
+    assert rows
+    basket = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = basket.select("l_orderkey").distinct().count()
+    item = {
+        r.l_partkey: r.c
+        for r in basket.groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
+    }
+    for r in rows:
+        assert math.isclose(r.support, round(r.n_ab / n, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r.conf_a_to_b, round(r.n_ab / item[r.part_a], 6), abs_tol=1e-9
+        )
+        assert math.isclose(
+            r.lift,
+            round(r.n_ab * n / (item[r.part_a] * item[r.part_b]), 6),
+            abs_tol=1e-9,
+        )
+
+
+# ---------------------------------------------------------------------------
+# IQR fences vs pandas quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_iqr_fences_match_pandas(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.event_type: r for r in _run(spark, "iqr_outlier_fences").collect()}
+    pdf = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for et, grp in pdf.groupby("event_type"):
+        r = rows[et]
+        q1 = grp["value"].quantile(0.25)
+        q3 = grp["value"].quantile(0.75)
+        assert math.isclose(r.q1, q1, abs_tol=1e-5)
+        assert math.isclose(r.q3, q3, abs_tol=1e-5)
+        assert r.fence_lo < r.q1 <= r.q3 < r.fence_hi
+        n_out = ((grp["value"] < r.fence_lo) | (grp["value"] > r.fence_hi)).sum()
+        assert r.n_outliers == n_out
+        assert r.n_events == len(grp)
+
+
+# ---------------------------------------------------------------------------
+# RFM: score ranges and monotonicity vs raw metrics
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_consistent(spark):
+    rows = _run(spark, "rfm_segmentation").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+    # monotone: a strictly larger metric can never get a lower score
+    by_f = sorted(rows, key=lambda r: r.frequency)
+    for a, b in zip(by_f, by_f[1:]):
+        if b.frequency > a.frequency:
+            assert b.f_score >= a.f_score
+    by_r = sorted(rows, key=lambda r: r.recency_days)
+    for a, b in zip(by_r, by_r[1:]):
+        if b.recency_days > a.recency_days:
+            assert b.r_score <= a.r_score  # recency inverts
+
+
+# ---------------------------------------------------------------------------
+# Latency quantiles are ordered
+# ---------------------------------------------------------------------------
+
+
+def test_latency_quantiles_ordered(spark):
+    rows = _run(spark, "ship_latency_quantiles").collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99 <= r.p100
+        assert r.n_lines > 0
+
+
+# ---------------------------------------------------------------------------
+# Centroid shift: nonnegative, all dims, even/odd symmetry
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_shift_basic(spark):
+    rows = _run(spark, "embedding_centroid_shift").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_dims == 64
+        assert r.l2_shift >= 0.0
