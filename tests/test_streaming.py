@@ -200,3 +200,13 @@ def test_stream_static_broadcast_enrich(spark, sf_dir, events_dir, tmp_path):
     want = read_table(spark, sf_dir, "events")
     assert got.count() == want.count()
     assert all(r.tier == r.user_id % 3 for r in got.limit(50).collect())
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    from ucl_data_pipeline_spark.plans.extras5 import ohlc_resample_hourly
+    from ucl_data_pipeline_spark.streaming import ohlc_stream
+
+    stream = ohlc_stream(read_events_stream(spark, events_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    want = ohlc_resample_hourly(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)

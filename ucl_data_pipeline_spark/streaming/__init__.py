@@ -3,6 +3,7 @@
 from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
     dedup_within_watermark,
     interval_join_stream,
+    ohlc_stream,
     read_events_stream,
     run_available_now,
     session_window_stream,

@@ -127,6 +127,48 @@ def session_window_stream(
     )
 
 
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC bars: per (hour window, event_type) the opening
+    value (earliest row by the total order (ts, event_id) via min_by on
+    the ordering struct), high, low, close, count and exact-decimal sum
+    — the streaming twin of the batch ohlc_resample_hourly query
+    (plans/extras5.py), which picks open/close via ROW_NUMBER over the
+    same total order; min_by/max_by on the (ts, event_id) struct select
+    the identical rows, so stream ≡ batch holds row-for-row.
+
+    State per group is O(1) (two extreme rows + four scalars), so this
+    is the pre-aggregation that runs AT the stream and makes downstream
+    batch analytics cheap at any volume.
+    """
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str], watermark: str = "1 hour"
 ) -> DataFrame:
