@@ -437,3 +437,102 @@ def test_centroid_shift_basic(spark):
     for r in rows:
         assert r.n_dims == 64
         assert r.l2_shift >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Sliding 7-day distinct users: window bounds vs daily distinct counts
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_dau_bounds(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.obs_day: r.users_7d for r in _run(spark, "sliding_distinct_users_7d").collect()}
+    assert rows
+    daily = {
+        r.day: r.n
+        for r in read_table(spark, SF_SMOKE, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(daily)
+    for day, wau in rows.items():
+        # trailing-window distinct is at least the day's own distinct count
+        # and at most the sum of the 7 contributing days' counts
+        lo = daily[day]
+        hi = sum(
+            daily.get(d, 0)
+            for d in (day - __import__("datetime").timedelta(i) for i in range(7))
+        )
+        assert lo <= wau <= hi
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder apportionment: quotas sum to budget, within-1 of floor
+# ---------------------------------------------------------------------------
+
+
+def test_apportion_exact_budget(spark):
+    from ucl_data_pipeline_spark.plans.extras9 import _APPORTION_BUDGET
+
+    rows = _run(spark, "largest_remainder_apportion").collect()
+    assert rows
+    assert sum(r.quota for r in rows) == _APPORTION_BUDGET
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        floor = r.n_docs * _APPORTION_BUDGET // total
+        assert r.quota in (floor, floor + 1)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: never underestimates; estimate bounded by row total
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    rows = _run(spark, "count_min_estimate_error").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_est == r.exact_cnt + r.overestimate
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: tight bounding boxes vs single-key split
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_bbox_tight(spark):
+    rows = _run(spark, "zorder_layout_stats").collect()
+    assert rows
+    for r in rows:
+        # 16 z-keys per file cover a 4x4 tile of the 16x16 grid
+        assert r.bbox_area <= 16
+        assert 0 <= r.px_min <= r.px_max <= 15
+        assert 0 <= r.sx_min <= r.sx_max <= 15
+    assert sum(r.n_rows for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time: version-2 customers resolve the uprated balance
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_pit_resolves_versions(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "scd2_point_in_time_join").collect()
+    assert rows
+    bal = {
+        r.c_custkey: r.c_acctbal
+        for r in read_table(spark, SF_SMOKE, "customer").collect()
+    }
+    for r in rows[:500]:
+        v1_bal = bal[r.o_custkey]
+        if r.as_of_version == 1 or r.o_custkey % 3 != 0:
+            assert math.isclose(r.acctbal_as_of, v1_bal, abs_tol=1e-9)
+        else:
+            assert math.isclose(r.acctbal_as_of, round(v1_bal * 1.1, 2), abs_tol=1e-2)
