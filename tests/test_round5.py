@@ -536,3 +536,130 @@ def test_scd2_pit_resolves_versions(spark):
             assert math.isclose(r.acctbal_as_of, v1_bal, abs_tol=1e-9)
         else:
             assert math.isclose(r.acctbal_as_of, round(v1_bal * 1.1, 2), abs_tol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Holt forecast: literal-weight unrolling equals the direct recursion
+# ---------------------------------------------------------------------------
+
+
+def test_holt_matches_direct_recursion(spark):
+    from ucl_data_pipeline_spark.plans.extras9 import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _HOLT_N,
+    )
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    row = _run(spark, "holt_linear_forecast").collect()[0]
+    daily = (
+        read_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("rev"))
+        .orderBy("day")
+        .collect()
+    )
+    ys = [r.rev for r in daily][-_HOLT_N:]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for t in range(1, _HOLT_N):
+        prev = lvl
+        lvl = _HOLT_ALPHA * ys[t] + (1 - _HOLT_ALPHA) * (lvl + trd)
+        trd = _HOLT_BETA * (lvl - prev) + (1 - _HOLT_BETA) * trd
+    # per-term 6dp rounding in the registered query introduces <= n*5e-7
+    assert math.isclose(row.forecast_next_revenue, lvl + trd, rel_tol=1e-6)
+    assert row.last_day == daily[-1].day
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford: matches a driver-side reference relaxation
+# ---------------------------------------------------------------------------
+
+
+def test_cheapest_route_matches_reference(spark):
+    from ucl_data_pipeline_spark.plans.extras9 import _BF_ITER, _BF_SOURCE
+
+    rows = {r.node: r.cost for r in _run(spark, "cheapest_route_nations").collect()}
+    # rebuild the edge list with the same integer weights
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    l = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    s = read_table(spark, SF_SMOKE, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("w")
+        )
+        .collect()
+    )
+    dist = {_BF_SOURCE: 0}
+    for _ in range(_BF_ITER):
+        nxt = dict(dist)
+        for e in edges:
+            if e.s_nationkey in dist:
+                cand = dist[e.s_nationkey] + e.w
+                if e.c_nationkey not in nxt or cand < nxt[e.c_nationkey]:
+                    nxt[e.c_nationkey] = cand
+        dist = nxt
+    for node, cost in rows.items():
+        assert cost == dist.get(node), (node, cost, dist.get(node))
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering: pair set identical to brute-force theta-Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_complete(spark):
+    from ucl_data_pipeline_spark.plans.llm_ops import _rep_features
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _run(spark, "jaccard_prefix_filter_pairs").collect()
+    }
+    feats = {
+        r.doc_id: set(r.feats) for r in _rep_features(spark, SF_SMOKE).collect()
+    }
+    ids = sorted(feats)
+    want = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            A, B = feats[da], feats[db]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            if union and 2 * inter >= union:
+                want[(da, db)] = inter / union
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Range partition planning: complete, balanced, ordered, disjoint
+# ---------------------------------------------------------------------------
+
+
+def test_range_partitions_balanced_ordered(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = sorted(
+        _run(spark, "range_partition_boundaries").collect(),
+        key=lambda r: r.partition_id,
+    )
+    n = read_table(spark, SF_SMOKE, "orders").count()
+    assert [r.partition_id for r in rows] == list(range(8))
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        # discrete eighth-quantile split: within rounding of the ideal
+        assert abs(r.n_rows - n / 8) <= 1 + n * 0.01
+        assert r.price_lo <= r.price_hi
+    for a, b in zip(rows, rows[1:]):
+        assert a.price_hi <= b.price_lo

@@ -433,3 +433,447 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("acctbal_as_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing, literal weights)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.2
+_HOLT_N = 14
+
+
+def _holt_coeffs(n: int, a: float, b: float) -> list[float]:
+    """Unroll Holt's recursion symbolically: coefficients c_i such that
+    (level_n + trend_n) = Σ c_i · y_i for the oldest-first series
+    y_1..y_n with l1=y1, b1=y2-y1. Pure float arithmetic on module
+    constants — both engines receive the IDENTICAL literal weights."""
+    lvl = [0.0] * n
+    trd = [0.0] * n
+    lvl[0] = 1.0
+    trd[0], trd[1] = -1.0, 1.0
+    for t in range(1, n):
+        prev_l, prev_t = lvl[:], trd[:]
+        lvl = [(1 - a) * (pl + pt) for pl, pt in zip(prev_l, prev_t)]
+        lvl[t] += a
+        trd = [b * (nl - pl) + (1 - b) * pt
+               for nl, pl, pt in zip(lvl, prev_l, prev_t)]
+    return [l + t for l, t in zip(lvl, trd)]
+
+
+_HOLT_C = _holt_coeffs(_HOLT_N, _HOLT_ALPHA, _HOLT_BETA)
+_SQL_HOLT_C = "[" + ", ".join(repr(c) for c in _HOLT_C) + "]"
+
+_HOLT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+lastn AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day DESC) AS rd
+  FROM daily QUALIFY rd <= {_HOLT_N}
+),
+ranked AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM lastn
+)
+SELECT MAX(day) AS last_day,
+       CAST(SUM(CAST(ROUND(({_SQL_HOLT_C})[rn] * rev, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) AS forecast_next_revenue
+FROM ranked
+"""
+
+
+@register("holt_linear_forecast", oracle=_HOLT_ORACLE, tags=("temporal", "forecast"))
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) one-step revenue
+    forecast over the last 14 days — the forecasting step up from the
+    flat EWMA (ewma_bounded): a linear trend component keeps the
+    prediction from lagging a drifting series. The inherently
+    sequential recursion is made engine-neutral by unrolling it
+    SYMBOLICALLY at import time: over a fixed 14-day horizon, Holt is
+    a linear filter, so level₁₄+trend₁₄ = Σ cᵢ·yᵢ with weights cᵢ
+    depending only on (α, β) — computed once in Python and fed to
+    BOTH engines as shared literals. Per-term products are ROUND-6 +
+    decimal-summed, the house rule for order-independent float totals.
+
+    Scale: one map-combined hash-agg over orders builds the daily
+    series; everything after runs on 14 rows. The bounded-horizon
+    linear-filter trick generalizes to any fixed-window recursive
+    smoother (Brown, damped-trend Holt).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    lastn = daily.orderBy(F.col("day").desc()).limit(_HOLT_N)
+    w = Window.partitionBy(F.lit(1)).orderBy("day")
+    ranked = lastn.select("day", "rev", F.row_number().over(w).alias("rn"))
+    coeffs = F.array(*[F.lit(c) for c in _HOLT_C])
+    term = F.round(F.element_at(coeffs, F.col("rn")) * F.col("rev"), 6)
+    return ranked.agg(
+        F.max("day").alias("last_day"),
+        F.sum(term.cast("decimal(18,6)"))
+        .cast("double")
+        .alias("forecast_next_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford: cheapest nation-to-nation trade route
+# ---------------------------------------------------------------------------
+
+_BF_ITER = 3
+_BF_SOURCE = 0
+
+
+def _sql_bf_iter(prev: str, nxt: str) -> str:
+    return f"""{nxt} AS (
+  SELECT n.node,
+         CASE WHEN n.cost IS NULL THEN c.cand
+              WHEN c.cand IS NULL THEN n.cost
+              ELSE LEAST(n.cost, c.cand) END AS cost
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS node, MIN(p.cost + e.w) AS cand
+    FROM {prev} p JOIN edges e ON e.src = p.node
+    WHERE p.cost IS NOT NULL GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+
+
+_BF_ORACLE = f"""
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(FLOOR(
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l.l_extendedprice)) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+d0 AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_nationkey = {_BF_SOURCE}
+              THEN CAST(0 AS BIGINT) END AS cost
+  FROM nation
+),
+{",".join(_sql_bf_iter(f"d{i}", f"d{i + 1}") for i in range(_BF_ITER))}
+SELECT node, CAST(cost AS BIGINT) AS cost FROM d{_BF_ITER}
+"""
+
+
+@register(
+    "cheapest_route_nations", oracle=_BF_ORACLE, tags=("graph", "iterative", "join")
+)
+def cheapest_route_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford ({N} relaxations) over the weighted trade
+    graph: minimum cumulative cost from nation {SRC} to every nation,
+    where an edge costs the FLOOR of the mean line price on that trade
+    lane — min-plus relaxation, the weighted generalization of
+    bfs_reach_hops (a 2-hop detour can genuinely beat a direct edge
+    here, which hop-BFS cannot see). Edge weights are floored to
+    BIGINT so the entire computation is integer min-plus — zero float
+    conventions needed (the mean itself is the exact-decimal davg
+    both engines compute bit-identically before the floor).
+
+    Scale shape: the fact-side edge aggregation happens ONCE and is
+    persisted; each relaxation joins broadcast node-bounded state
+    (≤25 rows) against the edge table — no SortMergeJoin, edges never
+    re-shuffle, one lazy Catalyst plan end-to-end; the oracle unrolls
+    the identical supersteps as chained CTEs.
+    """
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("l_extendedprice")
+            )
+            .cast("bigint")
+            .alias("w")
+        )
+        .persist()
+    )
+    d = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == _BF_SOURCE, F.lit(0))
+        .cast("bigint")
+        .alias("cost"),
+    )
+    for _ in range(_BF_ITER):
+        cand = (
+            edges.join(
+                F.broadcast(d.filter(F.col("cost").isNotNull())),
+                d["node"] == edges["src"],
+            )
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.min(F.col("cost") + F.col("w")).alias("cand"))
+        )
+        d = d.join(F.broadcast(cand), d["node"] == cand["cnode"], "left").select(
+            "node",
+            F.when(F.col("cost").isNull(), F.col("cand"))
+            .when(F.col("cand").isNull(), F.col("cost"))
+            .otherwise(F.least("cost", "cand"))
+            .alias("cost"),
+        )
+    return d.select("node", F.col("cost").cast("bigint").alias("cost"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity self-join (ppjoin-style)
+# ---------------------------------------------------------------------------
+
+_PF_THETA_NUM, _PF_THETA_DEN = 1, 2  # Jaccard threshold 0.5 as a rational
+
+from ucl_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    _SQL_SHINGLES as _LLM_SQL_SHINGLES,
+    _SQL_TOKS as _LLM_SQL_TOKS,
+)
+
+_PREFIX_FILTER_ORACLE = f"""
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+tok0 AS (
+  SELECT doc_id, {_LLM_SQL_TOKS} AS t FROM rep
+),
+tok AS (
+  SELECT doc_id, {_LLM_SQL_SHINGLES.format(t="t")} AS toks FROM tok0
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tok
+),
+df AS (
+  SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok
+),
+sized AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+),
+pfx AS (
+  SELECT e.doc_id, e.tok
+  FROM ex e JOIN df USING (tok) JOIN sized s USING (doc_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.tok)
+          <= s.n - (s.n + 1) // 2 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter
+  FROM ex ea JOIN ex eb ON ea.tok = eb.tok
+  JOIN cand ON cand.doc_a = ea.doc_id AND cand.doc_b = eb.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.inter AS DOUBLE) / CAST(sa.n + sb.n - s.inter AS DOUBLE)
+         AS jaccard
+FROM shared s
+JOIN sized sa ON s.doc_a = sa.doc_id
+JOIN sized sb ON s.doc_b = sb.doc_id
+WHERE s.inter * {_PF_THETA_DEN}
+      >= (sa.n + sb.n - s.inter) * {_PF_THETA_NUM}
+"""
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle=_PREFIX_FILTER_ORACLE,
+    tags=("dedup", "llm"),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level set-similarity self-join via PREFIX FILTERING
+    (the ppjoin family): documents pair as candidates only if they
+    share a shingle in their rarest-first PREFIX of n - ⌈θ·n⌉ + 1 — any
+    pair with Jaccard ≥ θ provably shares one, so the candidate set is
+    exact, then full-set verification computes true Jaccard. This is
+    the alternative scale path to the df-capped inverted index
+    (jaccard_shingle_pairs): instead of dropping stop-shingles, EVERY
+    document indexes only its globally-rarest few tokens, so hot
+    tokens never form join buckets at all — the candidate count is
+    bounded by rare-token collisions, the right trade when the corpus
+    has no clean stop-token frontier.
+
+    Exact-dup collapse first (rep), integer threshold algebra
+    (inter·2 ≥ union·1 for θ=1/2 — no float compare), and the final
+    jaccard is a same-integers division, bit-identical cross-engine.
+
+    Scale: df ranking is one hash-agg over the exploded token table;
+    the prefix cut drops each doc to ~n/2 rarest tokens; the self-join
+    key distribution is the RARE tail of the vocabulary by
+    construction. Verification joins run only on surviving candidates.
+    """
+    from ucl_data_pipeline_spark.plans.llm_ops import _rep_features
+
+    toks = _rep_features(spark, sf_dir).withColumnRenamed("feats", "toks").persist()
+    ex = toks.select("doc_id", F.explode("toks").alias("tok")).persist()
+    df = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    # rn and n ride the SAME doc_id shuffle (two window specs, one
+    # partitioning) — no doc-level side table to join or broadcast,
+    # which would be corpus-sized at 100 TB.
+    w_part = Window.partitionBy("doc_id")
+    w_doc = w_part.orderBy("df", "tok")
+    pfx = (
+        ex.join(df, "tok")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count("*").over(w_part))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.expr("(n + 1) div 2") + F.lit(1)
+        )
+        .select("doc_id", "tok", "rn", "n")
+    )
+    # ppjoin candidate pruning — both filters only discard pairs that
+    # provably CANNOT reach θ, so the verified output (and the oracle)
+    # is unchanged: (1) length filter — J ≥ 1/2 forces 2·min(na,nb) ≥
+    # max(na,nb); (2) positional filter — a match at prefix ranks
+    # (ra, rb) caps the total overlap at min(na-ra, nb-rb)+1, which
+    # must reach the θ-equivalent overlap ⌈(na+nb)/3⌉ (3x ≥ y is the
+    # integer spelling of x ≥ ⌈y/3⌉).
+    a, b = pfx.alias("a"), pfx.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(an, bn) * 2 >= F.greatest(an, bn))
+            & (
+                (F.least(an - F.col("a.rn"), bn - F.col("b.rn")) + 1) * 3
+                >= an + bn
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    fb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_n"),
+            union.alias("union_n"),
+        )
+        .filter(
+            F.col("inter_n") * _PF_THETA_DEN >= F.col("union_n") * _PF_THETA_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter_n").cast("double") / F.col("union_n").cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition boundary planning (write-layout split points)
+# ---------------------------------------------------------------------------
+
+_RANGE_PARTS = 8
+_RANGE_FRACS = [i / _RANGE_PARTS for i in range(1, _RANGE_PARTS)]
+
+_RANGE_BOUNDS_ORACLE = f"""
+WITH ordered AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+fr AS (SELECT unnest([{", ".join(repr(q) for q in _RANGE_FRACS)}]) AS q),
+bnd AS (
+  SELECT q, MIN(v) AS bv
+  FROM ordered, fr
+  WHERE rn = CAST(CEIL(q * n) AS BIGINT)
+  GROUP BY q
+),
+assigned AS (
+  SELECT v, len(list_filter(b.bounds, x -> v > x)) AS p
+  FROM (SELECT o_totalprice AS v FROM orders), (SELECT LIST(bv ORDER BY q) AS bounds FROM bnd) b
+)
+SELECT CAST(p AS INTEGER) AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(v) AS price_lo, MAX(v) AS price_hi
+FROM assigned GROUP BY p
+"""
+
+
+@register(
+    "range_partition_boundaries",
+    oracle=_RANGE_BOUNDS_ORACLE,
+    tags=("layout", "scale"),
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning planner: compute the {P}-way split points of
+    the sort key (discrete ⅛-quantiles — actual data values, the same
+    statistic Spark's RangePartitioner samples for) and prove the
+    layout balanced by assigning every row to its partition and
+    reporting per-partition counts and key ranges — the planning pass
+    behind a sorted 100 TB table write (global sort, Z-less case).
+
+    Cross-engine exactness: boundaries are ORDER STATISTICS (chosen
+    values, never interpolated) spelled identically in both engines as
+    the value at rank ⌈q·n⌉ — Spark's percentile_disc definition —
+    with q ∈ {{i/8}} all exactly representable doubles. Assignment is
+    a broadcast of 7 boundary values folded per row; counts are
+    integers.
+
+    Scale: one pass to rank (sample-based in production — the exact
+    rank here doubles as the oracle), one broadcast-fold pass to
+    assign; no shuffle larger than the final 8-group agg.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    bounds_row = o.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY o_totalprice)"
+                )
+                for q in _RANGE_FRACS
+            ]
+        ).alias("bounds")
+    )
+    assigned = (
+        o.select(F.col("o_totalprice").alias("v"))
+        .crossJoin(F.broadcast(bounds_row))
+        .select(
+            "v",
+            F.aggregate(
+                "bounds",
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+            ).alias("p"),
+        )
+    )
+    return assigned.groupBy(F.col("p").cast("int").alias("partition_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("v").alias("price_lo"),
+        F.max("v").alias("price_hi"),
+    )
