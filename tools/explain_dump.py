@@ -99,6 +99,23 @@ SHOWCASE = [
      "scoring at the scan, TakeOrderedAndProject top-k — no global sort"),
     ("cumulative_distinct_users", "expanding COUNT DISTINCT rewritten "
      "linear: per-user MIN hash-agg, then a calendar-bounded running sum"),
+    ("sliding_distinct_users_7d", "sliding COUNT DISTINCT via constant x7 "
+     "contribution explode of the (day,user) grain — pure equi-shuffles, "
+     "no range join"),
+    ("count_min_estimate_error", "CMS built from the per-key aggregate: "
+     "one fact pass, then 256 mergeable cells; tracked keys broadcast"),
+    ("zorder_layout_stats", "Morton key is a scan-side bit projection; "
+     "stats roll up in one hash-agg — the manifest pass of a z-ordered "
+     "write"),
+    ("cheapest_route_nations", "integer min-plus relaxations join "
+     "broadcast node state against persisted edges — no SortMergeJoin in "
+     "the supersteps"),
+    ("jaccard_prefix_filter_pairs", "ppjoin: rarest-prefix inverted index "
+     "+ length/positional pruning; verification touches only surviving "
+     "candidate pairs"),
+    ("range_partition_boundaries", "split points via one percentile agg, "
+     "broadcast to a scan-side fold — no shuffle beyond the final 8-group "
+     "agg"),
 ]
 
 
