@@ -663,3 +663,157 @@ def test_range_partitions_balanced_ordered(spark):
         assert r.price_lo <= r.price_hi
     for a, b in zip(rows, rows[1:]):
         assert a.price_hi <= b.price_lo
+
+
+# ---------------------------------------------------------------------------
+# HLL gate: exact counts match a direct distinct, all rows gated
+# ---------------------------------------------------------------------------
+
+
+def test_hll_gate_exact_and_passing(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "hll_distinct_error_gate").collect()
+    assert len(rows) == 25
+    exact = {
+        r.c_nationkey: r.n
+        for r in read_table(spark, SF_SMOKE, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count_distinct("c_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_cnt == exact[r.c_nationkey]
+        assert r.within_10pct  # HLL at these cardinalities is ~2% worst-case
+
+
+# ---------------------------------------------------------------------------
+# Modularity: bounded, and matches a driver-side recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_matches_reference(spark):
+    row = _run(spark, "trade_modularity_score").collect()[0]
+    assert -1.0 <= row.q_modularity <= 1.0
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    l = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    s = read_table(spark, SF_SMOKE, "supplier")
+    n = {r.n_nationkey: r.n_regionkey
+         for r in read_table(spark, SF_SMOKE, "nation").collect()}
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    m = sum(e.w for e in edges)
+    w_in = sum(e.w for e in edges if n[e.s_nationkey] == n[e.c_nationkey])
+    douts, dins = {}, {}
+    for e in edges:
+        douts[n[e.s_nationkey]] = douts.get(n[e.s_nationkey], 0) + e.w
+        dins[n[e.c_nationkey]] = dins.get(n[e.c_nationkey], 0) + e.w
+    dd = sum(douts.get(comm, 0) * dins.get(comm, 0)
+             for comm in set(douts) | set(dins))
+    assert row.m_edges == m
+    assert math.isclose(row.q_modularity, w_in / m - dd / (m * m), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Readability: counts consistent with Python recomputation on a sample
+# ---------------------------------------------------------------------------
+
+
+def test_readability_counts(spark):
+    import re
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.doc_id: r for r in _run(spark, "readability_scores").collect()}
+    docs = read_table(spark, SF_SMOKE, "documents").limit(50).collect()
+    for d in docs:
+        r = rows[d.doc_id]
+        assert r.n_words == len(re.split(r"\s+", d.text.strip().lower()))
+        assert r.n_syllables == len(re.findall(r"[aeiouy]+", d.text.lower()))
+        assert r.n_sentences == max(len(re.findall(r"[.!?]+", d.text)), 1)
+        flesch = (206.835 - 1.015 * (r.n_words / r.n_sentences)
+                  - 84.6 * (r.n_syllables / r.n_words))
+        assert math.isclose(r.flesch_ease, round(flesch, 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation: lag 0 equals pandas corr of the two series
+# ---------------------------------------------------------------------------
+
+
+def test_crosscorr_lag0_matches_pandas(spark):
+    import pandas as pd
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.lag: r for r in _run(spark, "crosscorr_event_series").collect()}
+    assert set(rows) == set(range(-3, 4))
+    pdf = read_table(spark, SF_SMOKE, "events").toPandas()
+    pdf["day"] = pdf["ts"].dt.date
+    x = pdf[pdf.event_type == "view"].groupby("day").size()
+    y = pdf[pdf.event_type == "purchase"].groupby("day")["value"].sum()
+    both = pd.concat([x.rename("x"), y.rename("y")], axis=1).fillna(0.0)
+    r0 = both["x"].corr(both["y"])
+    assert math.isclose(rows[0].r, r0, abs_tol=1e-4)
+    for r in rows.values():
+        assert -1.0 <= r.r <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics surfaces
+# ---------------------------------------------------------------------------
+
+
+def test_null_safe_join_includes_null_group(spark):
+    rows = _run(spark, "null_safe_join_surface").collect()
+    assert len(rows) == 5  # groups 0..3 plus the NULL<=>NULL row
+    null_rows = [r for r in rows if r.grp is None]
+    assert len(null_rows) == 1
+    assert null_rows[0].cust_cnt > 0 and null_rows[0].supp_cnt > 0
+
+
+def test_not_in_null_trap(spark):
+    row = _run(spark, "not_in_null_semantics").collect()[0]
+    assert row.n_not_in == 0  # one NULL in the subquery poisons NOT IN
+    assert row.n_not_exists > 0  # NOT EXISTS counts real orphans
+
+
+# ---------------------------------------------------------------------------
+# Constraint audit: clean synthetic data passes the domain rules
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_audit_shape(spark):
+    rows = {r.constraint_name: r for r in _run(spark, "constraint_violation_audit").collect()}
+    assert set(rows) == {
+        "quantity_positive", "discount_in_range", "price_positive",
+        "lineitem_order_fk", "ship_after_order",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+
+
+# ---------------------------------------------------------------------------
+# Trending: exactly top-3 per hour, deltas consistent across hours
+# ---------------------------------------------------------------------------
+
+
+def test_trending_top3_consistent(spark):
+    rows = _run(spark, "trending_event_types_hourly").collect()
+    by_hr = {}
+    for r in rows:
+        by_hr.setdefault(r.hr, []).append(r)
+    for hr, grp in by_hr.items():
+        ranks = sorted(g.rnk for g in grp)
+        assert ranks == list(range(1, len(grp) + 1)) and len(grp) <= 3
+        counts = sorted((g.cnt for g in grp), reverse=True)
+        assert [g.cnt for g in sorted(grp, key=lambda g: g.rnk)] == counts

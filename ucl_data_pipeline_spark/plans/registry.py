@@ -97,6 +97,12 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (seventh session batch)
+    "hll_distinct_error_gate",
+    "trade_modularity_score",
+    "crosscorr_event_series",
+    "constraint_violation_audit",
+    "trending_event_types_hourly",
     # new in round 5 (fifth/sixth session batches)
     "sliding_distinct_users_7d",
     "largest_remainder_apportion",
@@ -147,17 +153,16 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # code/oracle touched in round 5 (kmeans_assign and token_pmi_pairs
-    # dropped from the prefix: their round-5 edits were assert-only /
-    # docstring-only, no semantic change; the stale round-1 refresh
-    # names roll into the next round's rotation — all have green r1
-    # rows and stay covered by tools/verify_local.py, which re-ran the
-    # FULL registry green in both ANSI modes this session).
-    "embedding_topk_cosine",
-    "triangle_count_trade",
-    "robust_zscore_outliers",
-    "ann_recall_at_3",
-    "kmeans_lloyd2",
+    # 53 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the three deferred to the round-6 rotation are the
+    # lowest-novelty surfaces (readability_scores,
+    # null_safe_join_surface, not_in_null_semantics — scan-side
+    # integer counting / tiny SQL-semantics rows), and the round-5
+    # re-touched names (embedding_topk_cosine, triangle_count_trade,
+    # robust_zscore_outliers, ann_recall_at_3, kmeans_lloyd2,
+    # kmeans_assign, token_pmi_pairs) also roll forward. ALL of them
+    # were verified oracle-exact at sf0.01 in BOTH ANSI modes this
+    # session by tools/verify_local.py full-registry sweeps.
 )
 
 
