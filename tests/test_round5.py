@@ -817,3 +817,159 @@ def test_trending_top3_consistent(spark):
         assert ranks == list(range(1, len(grp) + 1)) and len(grp) <= 3
         counts = sorted((g.cnt for g in grp), reverse=True)
         assert [g.cnt for g in sorted(grp, key=lambda g: g.rnk)] == counts
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE reachability agrees with the iterative BFS engine op
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_matches_reference_bfs(spark):
+    from ucl_data_pipeline_spark.plans.extras11 import _REC_DEPTH, _REC_SOURCE
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    got = {r.node: r.min_depth
+           for r in _run(spark, "recursive_reachability_sql").collect()}
+    assert got[_REC_SOURCE] == 0
+    # reference: python BFS over the same distinct edge list
+    l = read_table(spark, SF_SMOKE, "lineitem")
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    s = read_table(spark, SF_SMOKE, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select("s_nationkey", "c_nationkey")
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for e in edges:
+        adj.setdefault(e.s_nationkey, []).append(e.c_nationkey)
+    dist = {_REC_SOURCE: 0}
+    frontier = [_REC_SOURCE]
+    for d in range(1, _REC_DEPTH + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# Skew profile: shares and factors consistent
+# ---------------------------------------------------------------------------
+
+
+def test_skew_profile_consistent(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "skew_key_profile").collect()
+    assert len(rows) == 10
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    total = li.count()
+    n_keys = li.select("l_partkey").distinct().count()
+    counts = sorted((r.cnt for r in rows), reverse=True)
+    assert [r.cnt for r in rows] == counts  # descending
+    for r in rows:
+        assert math.isclose(r.pct_of_rows, round(r.cnt / total, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r.skew_factor, round(r.cnt * n_keys / total, 6), abs_tol=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# Pattern matches are a subset of full-funnel users, strictly consecutive
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_vvp_consecutive(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    got = {r.user_id: r.n_matches for r in _run(spark, "event_pattern_vvp").collect()}
+    assert got and all(v >= 1 for v in got.values())
+    # recompute for the matched users
+    ev = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id").isin(*list(got)[:20]))
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    for uid, types in seqs.items():
+        if uid not in got:
+            continue
+        n = sum(
+            1
+            for i in range(len(types) - 2)
+            if types[i] == "view" and types[i + 1] == "view"
+            and types[i + 2] == "purchase"
+        )
+        assert got[uid] == n
+
+
+# ---------------------------------------------------------------------------
+# argmax surface: returned names actually hold the extreme balances
+# ---------------------------------------------------------------------------
+
+
+def test_argmax_surface_extremes(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "argmax_surface").collect()
+    cust = read_table(spark, SF_SMOKE, "customer").collect()
+    by_nation = {}
+    for c in cust:
+        by_nation.setdefault(c.c_nationkey, []).append(c)
+    for r in rows:
+        grp = by_nation[r.c_nationkey]
+        key = lambda c: (round(c.c_acctbal * 100), c.c_custkey)  # noqa: E731
+        assert r.richest_customer == max(grp, key=key).c_name
+        assert r.poorest_customer == min(grp, key=key).c_name
+        assert math.isclose(r.max_bal, max(c.c_acctbal for c in grp))
+        assert math.isclose(r.min_bal, min(c.c_acctbal for c in grp))
+
+
+# ---------------------------------------------------------------------------
+# Bayesian smoothing: shrinks toward the prior, bounded by raw mean
+# ---------------------------------------------------------------------------
+
+
+def test_bayes_shrinks_toward_prior(spark):
+    rows = _run(spark, "bayesian_smoothed_rating").collect()
+    assert rows
+    # global prior ~ weighted mean of raw means
+    total_n = sum(r.n_parts for r in rows)
+    prior = sum(r.raw_mean * r.n_parts for r in rows) / total_n
+    for r in rows:
+        lo, hi = sorted((r.raw_mean, prior))
+        assert lo - 1e-6 <= r.smoothed_mean <= hi + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Session histogram: totals match event count via length-weighted sum
+# ---------------------------------------------------------------------------
+
+
+def test_session_histogram_totals(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "session_length_histogram").collect()
+    assert rows
+    n_events = read_table(spark, SF_SMOKE, "events").count()
+    # capped lengths: buckets < 10 contribute len*count exactly
+    uncapped = sum(
+        r.session_len_capped * r.n_sessions
+        for r in rows
+        if r.session_len_capped < 10
+    )
+    capped_sessions = sum(r.n_sessions for r in rows if r.session_len_capped == 10)
+    assert uncapped + 10 * capped_sessions <= n_events
+    assert uncapped + 10 * capped_sessions > 0

@@ -97,6 +97,10 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (eighth session batch)
+    "recursive_reachability_sql",
+    "event_pattern_vvp",
+    "session_length_histogram",
     # new in round 5 (seventh session batch)
     "hll_distinct_error_gate",
     "trade_modularity_score",
@@ -130,7 +134,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "weighted_median_price",
     "langid_confusion_f1",
     # new in round 5 (second session batch)
-    "cumulative_distinct_users",
     "gini_revenue_concentration",
     "welch_ttest_promo",
     "weighted_sample_ares",
@@ -139,11 +142,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ohlc_resample_hourly",
     "cusum_drift_daily",
     "autocorr_daily_revenue",
-    "benford_first_digit",
     "minhash_jaccard_error",
     "doc_bigram_likelihood",
     "quantile_normalize_feature",
-    "interval_union_coverage",
     # new in round 5
     "forecast_revenue_change",
     "late_shipment_priority",
@@ -153,16 +154,18 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # 53 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the three deferred to the round-6 rotation are the
-    # lowest-novelty surfaces (readability_scores,
-    # null_safe_join_surface, not_in_null_semantics — scan-side
-    # integer counting / tiny SQL-semantics rows), and the round-5
+    # 59 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the nine deferred to the round-6 rotation are the
+    # lowest-risk integer-arithmetic / single-agg shapes
+    # (readability_scores, null_safe_join_surface,
+    # not_in_null_semantics, skew_key_profile, argmax_surface,
+    # bayesian_smoothed_rating, cumulative_distinct_users,
+    # benford_first_digit, interval_union_coverage), and the round-5
     # re-touched names (embedding_topk_cosine, triangle_count_trade,
     # robust_zscore_outliers, ann_recall_at_3, kmeans_lloyd2,
     # kmeans_assign, token_pmi_pairs) also roll forward. ALL of them
     # were verified oracle-exact at sf0.01 in BOTH ANSI modes this
-    # session by tools/verify_local.py full-registry sweeps.
+    # session by tools/verify_local.py sweeps.
 )
 
 
