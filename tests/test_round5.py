@@ -973,3 +973,112 @@ def test_session_histogram_totals(spark):
     capped_sessions = sum(r.n_sessions for r in rows if r.session_len_capped == 10)
     assert uncapped + 10 * capped_sessions <= n_events
     assert uncapped + 10 * capped_sessions > 0
+
+
+# ---------------------------------------------------------------------------
+# Chi-square + MI vs scipy-free reference on the contingency table
+# ---------------------------------------------------------------------------
+
+
+def _contingency(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("o"))
+        .collect()
+    )
+    return {(r.l_returnflag, r.l_linestatus): r.o for r in rows}
+
+
+def test_chi_square_matches_reference(spark):
+    row = _run(spark, "chi_square_independence").collect()[0]
+    obs = _contingency(spark)
+    n = sum(obs.values())
+    rt = {}
+    ct = {}
+    for (rf, ls), o in obs.items():
+        rt[rf] = rt.get(rf, 0) + o
+        ct[ls] = ct.get(ls, 0) + o
+    chi2 = sum(
+        round((o - rt[rf] * ct[ls] / n) ** 2 / (rt[rf] * ct[ls] / n), 6)
+        for (rf, ls), o in obs.items()
+    )
+    assert row.n_rows == n
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert math.isclose(row.chi2, chi2, abs_tol=1e-5)
+    v = math.sqrt(row.chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    assert math.isclose(row.cramers_v, v, abs_tol=1e-5)
+    assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_mutual_information_nonneg_reference(spark):
+    row = _run(spark, "mutual_information_flags").collect()[0]
+    obs = _contingency(spark)
+    n = sum(obs.values())
+    rt = {}
+    ct = {}
+    for (rf, ls), o in obs.items():
+        rt[rf] = rt.get(rf, 0) + o
+        ct[ls] = ct.get(ls, 0) + o
+    mi = sum(
+        round((o / n) * math.log(o * n / (rt[rf] * ct[ls])), 6)
+        for (rf, ls), o in obs.items()
+    )
+    assert math.isclose(row.mutual_info_nats, mi, abs_tol=1e-5)
+    # MI of the empirical joint is >= 0 up to per-term rounding
+    assert row.mutual_info_nats >= -1e-5
+
+
+# ---------------------------------------------------------------------------
+# Churn flags vs direct recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_churn_flags_reference(spark):
+    import datetime
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.user_id: r for r in _run(spark, "churn_resurrection_stats").collect()}
+    ev = read_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    last = {}
+    cnt = {}
+    for r in ev:
+        cnt[r.user_id] = cnt.get(r.user_id, 0) + 1
+        if r.user_id not in last or r.ts > last[r.user_id]:
+            last[r.user_id] = r.ts
+    max_ts = max(last.values())
+    for uid, r in rows.items():
+        assert r.n_events == cnt[uid]
+        assert r.churned == (last[uid] < max_ts - datetime.timedelta(days=14))
+        assert 0 <= r.n_resurrections < r.n_events
+
+
+# ---------------------------------------------------------------------------
+# l-diversity never passes below l distinct and vice versa
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_consistent(spark):
+    rows = _run(spark, "l_diversity_check").collect()
+    assert rows
+    for r in rows:
+        assert r.l_diverse == (r.n_sensitive >= 3)
+        assert 1 <= r.n_sensitive <= min(r.group_size, 5)  # 5 segments exist
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order stats: late fraction sane, high-water monotone logic
+# ---------------------------------------------------------------------------
+
+
+def test_out_of_order_stats(spark):
+    rows = _run(spark, "out_of_order_stats").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert r.max_late_seconds >= 0
+        if r.n_late == 0:
+            assert r.max_late_seconds == 0

@@ -97,6 +97,11 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (ninth session batch)
+    "chi_square_independence",
+    "mutual_information_flags",
+    "churn_resurrection_stats",
+    "out_of_order_stats",
     # new in round 5 (eighth session batch)
     "recursive_reachability_sql",
     "event_pattern_vvp",
@@ -136,15 +141,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 5 (second session batch)
     "gini_revenue_concentration",
     "welch_ttest_promo",
-    "weighted_sample_ares",
-    "neighbor_jaccard_nodes",
-    "rolling_median_frame",
     "ohlc_resample_hourly",
     "cusum_drift_daily",
     "autocorr_daily_revenue",
     "minhash_jaccard_error",
     "doc_bigram_likelihood",
-    "quantile_normalize_feature",
     # new in round 5
     "forecast_revenue_change",
     "late_shipment_priority",
@@ -154,13 +155,15 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # 59 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the nine deferred to the round-6 rotation are the
+    # 64 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the fourteen deferred to the round-6 rotation are the
     # lowest-risk integer-arithmetic / single-agg shapes
     # (readability_scores, null_safe_join_surface,
     # not_in_null_semantics, skew_key_profile, argmax_surface,
     # bayesian_smoothed_rating, cumulative_distinct_users,
-    # benford_first_digit, interval_union_coverage), and the round-5
+    # benford_first_digit, interval_union_coverage, l_diversity_check,
+    # quantile_normalize_feature, rolling_median_frame,
+    # neighbor_jaccard_nodes, weighted_sample_ares), and the round-5
     # re-touched names (embedding_topk_cosine, triangle_count_trade,
     # robust_zscore_outliers, ann_recall_at_3, kmeans_lloyd2,
     # kmeans_assign, token_pmi_pairs) also roll forward. ALL of them
