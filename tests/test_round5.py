@@ -1082,3 +1082,79 @@ def test_out_of_order_stats(spark):
         assert r.max_late_seconds >= 0
         if r.n_late == 0:
             assert r.max_late_seconds == 0
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: reproducible, epoch-varying, all docs dealt each epoch
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_deals_all_docs(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "epoch_shuffle_shards").collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    sum_ids = (
+        read_table(spark, SF_SMOKE, "documents")
+        .agg(F.sum("doc_id"))
+        .collect()[0][0]
+    )
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    fingerprints = set()
+    for epoch, grp in by_epoch.items():
+        assert sum(g.n_docs for g in grp) == n_docs
+        assert sum(g.sum_doc_ids for g in grp) == sum_ids
+        fingerprints.add(tuple(sorted((g.shard, g.n_docs, g.sum_doc_ids) for g in grp)))
+    # different epochs produce different deals
+    assert len(fingerprints) == 3
+
+
+# ---------------------------------------------------------------------------
+# Language mix: shares sum to ~1 per source, entropy bounds
+# ---------------------------------------------------------------------------
+
+
+def test_language_mix_shares_and_entropy(spark):
+    rows = _run(spark, "doc_language_mix").collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, grp in by_source.items():
+        assert abs(sum(g.share for g in grp) - 1.0) < 1e-4
+        n_langs = len(grp)
+        ent = grp[0].lang_entropy
+        assert all(abs(g.lang_entropy - ent) < 1e-9 for g in grp)
+        assert -1e-6 <= ent <= math.log(n_langs) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Norm quantiles ordered and within data range
+# ---------------------------------------------------------------------------
+
+
+def test_norm_quantiles_ordered(spark):
+    rows = _run(spark, "embedding_norm_quantiles").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.norm_p25 <= r.norm_p50 <= r.norm_p75
+
+
+# ---------------------------------------------------------------------------
+# Export rotation invariants (mechanized so the prefix can't rot)
+# ---------------------------------------------------------------------------
+
+
+def test_export_rotation_invariants():
+    from ucl_data_pipeline_spark.plans import REGISTRY, registry
+
+    assert len(registry.EXPORT_FIRST) <= 50
+    assert len(set(registry.EXPORT_FIRST)) == len(registry.EXPORT_FIRST)
+    missing = [n for n in registry.EXPORT_FIRST if n not in REGISTRY]
+    assert not missing, f"EXPORT_FIRST names not registered: {missing}"
+    order = list(registry.all_queries())
+    assert order[: len(registry.EXPORT_FIRST)] == [
+        n for n in registry.EXPORT_FIRST
+    ]

@@ -97,6 +97,10 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (tenth session batch)
+    "epoch_shuffle_shards",
+    "doc_language_mix",
+    "embedding_norm_quantiles",
     # new in round 5 (ninth session batch)
     "chi_square_independence",
     "mutual_information_flags",
@@ -139,12 +143,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "weighted_median_price",
     "langid_confusion_f1",
     # new in round 5 (second session batch)
-    "gini_revenue_concentration",
     "welch_ttest_promo",
     "ohlc_resample_hourly",
     "cusum_drift_daily",
-    "autocorr_daily_revenue",
-    "minhash_jaccard_error",
     "doc_bigram_likelihood",
     # new in round 5
     "forecast_revenue_change",
@@ -155,15 +156,20 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # 64 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the fourteen deferred to the round-6 rotation are the
-    # lowest-risk integer-arithmetic / single-agg shapes
-    # (readability_scores, null_safe_join_surface,
-    # not_in_null_semantics, skew_key_profile, argmax_surface,
-    # bayesian_smoothed_rating, cumulative_distinct_users,
-    # benford_first_digit, interval_union_coverage, l_diversity_check,
+    # 67 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the seventeen deferred to the round-6 rotation are the
+    # lowest-risk integer-arithmetic / single-agg shapes or ones whose
+    # exact float convention is already driver-covered by a same-math
+    # sibling in the prefix (readability_scores,
+    # null_safe_join_surface, not_in_null_semantics, skew_key_profile,
+    # argmax_surface, bayesian_smoothed_rating,
+    # cumulative_distinct_users, benford_first_digit,
+    # interval_union_coverage, l_diversity_check,
     # quantile_normalize_feature, rolling_median_frame,
-    # neighbor_jaccard_nodes, weighted_sample_ares), and the round-5
+    # neighbor_jaccard_nodes, weighted_sample_ares,
+    # gini_revenue_concentration, autocorr_daily_revenue — its exact-
+    # decimal Pearson spelling is in-prefix via crosscorr_event_series
+    # — minhash_jaccard_error), and the round-5
     # re-touched names (embedding_topk_cosine, triangle_count_trade,
     # robust_zscore_outliers, ann_recall_at_3, kmeans_lloyd2,
     # kmeans_assign, token_pmi_pairs) also roll forward. ALL of them
