@@ -137,6 +137,17 @@ def _run_in_process(names: list[str], sf_dir: str) -> dict[str, float]:
             # run 3-4 captures nearly all of the convergence, and the
             # full 157-query suite must stay well inside any harness
             # wall-clock limit. Reported number = steady state.
+            # Cold-cache per timed run: several queries .persist()
+            # intermediates and never unpersist, so without this the
+            # chunk JVM accumulates cache entries across queries AND
+            # repeats — later queries in a chunk then measure GC/memory
+            # pressure that depends on CHUNK COMPOSITION, which shifts
+            # every round as the registry grows (observed: same query
+            # 1.7 s vs 3.8 s in two full runs with different chunk
+            # boundaries). Clearing before each run makes per-query
+            # numbers chunk-independent; persist still works WITHIN a
+            # run, which is what it is for.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
