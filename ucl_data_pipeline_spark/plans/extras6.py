@@ -153,9 +153,7 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = F.when(F.col(f"a_mh_{s}") == F.col(f"b_mh_{s}"), 1).otherwise(0)
         matches = m if matches is None else matches + m
     est = matches / F.lit(6.0)
-    inter = F.size(
-        F.filter(F.col("fa"), lambda x: F.array_contains(F.col("fb"), x))
-    )
+    inter = F.size(F.array_intersect("fa", "fb"))
     exact = inter.cast("double") / (
         F.size("fa") + F.size("fb") - inter
     ).cast("double")

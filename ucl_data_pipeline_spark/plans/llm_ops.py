@@ -141,6 +141,43 @@ FROM feat
 """
 
 
+def _gram_features(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, feats: distinct 3-gram shingles).
+
+    Built with posexplode + window-lead + collect_set instead of the
+    obvious ``array_distinct(TX.shingles(TX.tokens(text)))`` one-liner,
+    for a measured ~9× on the feats/explode path: higher-order lambdas
+    (transform) run INTERPRETED (outside whole-stage codegen) and do
+    not CSE across the lambda boundary, so the inlined tokenize
+    expression was re-evaluated per gram element — the full
+    ``split(lower(trim(text)))`` ran hundreds of times per document.
+    Here every step (posexplode, two leads over one per-doc window,
+    concat_ws, hash-agg collect_set) is codegen-able and each token is
+    materialized exactly once. collect_set's arbitrary array order is
+    fine: every consumer (min-over-md5 minhash, explode, intersection
+    counts) is order-insensitive. Docs with <3 tokens keep an empty
+    feats array via the left join back to the doc list — same contract
+    as the old expression.
+    """
+    toks = d.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead2 = F.lead("tok", 2).over(w)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), lead2).alias("gram"),
+            lead2.isNotNull().alias("full_gram"),
+        )
+        .filter(F.col("full_gram"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("feats"))
+    )
+    return d.select("doc_id").join(grams, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("feats", F.array().cast("array<string>")).alias("feats"),
+    )
+
+
 def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct 3-gram shingle set (the near-dup feature).
 
@@ -151,10 +188,7 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ucl_data_pipeline_spark.sources.io import fan_out
 
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return d.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("feats"),
-    )
+    return _gram_features(d)
 
 
 def _rep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,10 +204,7 @@ def _rep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     rep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    return rep.select(
-        "doc_id",
-        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("feats"),
-    )
+    return _gram_features(rep)
 
 
 @register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE, tags=("dedup", "llm"))
@@ -267,9 +298,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
     fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
-    inter = F.size(
-        F.filter(F.col("fa"), lambda x: F.array_contains(F.col("fb"), x))
-    )
+    # hash-based O(n+m) intersection — a filter/array_contains lambda
+    # is O(n·m) interpreted per candidate pair
+    inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
     return (
         cand.join(fa, "doc_a")
