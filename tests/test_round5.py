@@ -1158,3 +1158,76 @@ def test_export_rotation_invariants():
     assert order[: len(registry.EXPORT_FIRST)] == [
         n for n in registry.EXPORT_FIRST
     ]
+
+
+# ---------------------------------------------------------------------------
+# Join-size prediction is exact on full histograms
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_prediction_exact(spark):
+    row = _run(spark, "join_size_from_histograms").collect()[0]
+    assert row.histogram_exact
+    assert row.predicted_rows == row.actual_rows > 0
+
+
+# ---------------------------------------------------------------------------
+# HHI/CR4 bounds and reference recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_cr4_reference(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    row = _run(spark, "market_concentration_hhi").collect()[0]
+    rev = (
+        read_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("r"))
+        .collect()
+    )
+    total = sum(r.r for r in rev)
+    shares = sorted((round(r.r / total, 6) for r in rev), reverse=True)
+    assert row.n_suppliers == len(shares)
+    assert math.isclose(row.hhi, sum(round(s * s, 6) for s in shares), abs_tol=1e-5)
+    assert math.isclose(row.cr4, sum(shares[:4]), abs_tol=1e-5)
+    assert 1.0 / len(shares) - 1e-6 <= row.hhi <= 1.0
+    assert 0.0 < row.cr4 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Calendar spine: contiguous span, weekend counts plausible
+# ---------------------------------------------------------------------------
+
+
+def test_calendar_spine_contiguous(spark):
+    import datetime
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "calendar_dim_coverage").collect()
+    o = read_table(spark, SF_SMOKE, "orders").agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    ).collect()[0]
+    span_days = (o.d1 - o.d0).days + 1
+    assert sum(r.n_days for r in rows) == span_days
+    for r in rows:
+        assert 1 <= r.n_days <= 31
+        assert 0 <= r.n_weekend_days <= 10
+        assert 0 <= r.n_days_with_orders <= r.n_days
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent: shares sum to 1 within region and overall
+# ---------------------------------------------------------------------------
+
+
+def test_share_of_parent_sums(spark):
+    rows = _run(spark, "share_of_parent_rollup").collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, grp in by_region.items():
+        assert abs(sum(g.pct_of_region for g in grp) - 1.0) < 1e-4
+    assert abs(sum(g.pct_of_total for g in rows) - 1.0) < 1e-4

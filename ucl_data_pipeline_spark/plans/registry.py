@@ -97,6 +97,11 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (eleventh session batch)
+    "join_size_from_histograms",
+    "market_concentration_hhi",
+    "calendar_dim_coverage",
+    "share_of_parent_rollup",
     # new in round 5 (tenth session batch)
     "epoch_shuffle_shards",
     "doc_language_mix",
@@ -135,16 +140,12 @@ EXPORT_FIRST: tuple[str, ...] = (
     "embedding_centroid_shift",
     # new in round 5 (third session batch)
     "seasonal_dow_decompose",
-    "weekly_revenue_growth",
-    "conversion_wilson_ci",
     "corr_matrix_lineitem",
     "ols_slope_per_nation",
     "psi_price_drift",
     "weighted_median_price",
-    "langid_confusion_f1",
     # new in round 5 (second session batch)
     "welch_ttest_promo",
-    "ohlc_resample_hourly",
     "cusum_drift_daily",
     "doc_bigram_likelihood",
     # new in round 5
@@ -156,8 +157,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # 67 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the seventeen deferred to the round-6 rotation are the
+    # 71 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the twenty-one deferred to the round-6 rotation
+    # (additionally: ohlc_resample_hourly — its stream-equals-batch
+    # pytest pins the same selection logic — weekly_revenue_growth,
+    # conversion_wilson_ci, langid_confusion_f1) are the
     # lowest-risk integer-arithmetic / single-agg shapes or ones whose
     # exact float convention is already driver-covered by a same-math
     # sibling in the prefix (readability_scores,
