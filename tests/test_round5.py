@@ -1231,3 +1231,60 @@ def test_share_of_parent_sums(spark):
     for region, grp in by_region.items():
         assert abs(sum(g.pct_of_region for g in grp) - 1.0) < 1e-4
     assert abs(sum(g.pct_of_total for g in rows) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Modern SQL surfaces (extras15)
+# ---------------------------------------------------------------------------
+
+
+def test_variant_extract_matches_from_json(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = {r.event_id: r for r in _run(spark, "variant_extract_surface").collect()}
+    ref = (
+        read_table(spark, SF_SMOKE, "events")
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .collect()
+    )
+    assert len(rows) == len(ref) > 0
+    for r in ref:
+        assert rows[r.event_id].prop_k == r.k
+        assert rows[r.event_id].prop_missing is None
+
+
+def test_listagg_sorted_distinct(spark):
+    rows = _run(spark, "listagg_surface").collect()
+    assert len(rows) == 25
+    for r in rows:
+        segs = r.segments_csv.split(",")
+        assert segs == sorted(set(segs))
+        assert r.n_segments == len(segs)
+
+
+def test_bag_set_ops_multiplicities(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    from collections import Counter
+
+    o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority").collect()
+    a = Counter(r.o_orderpriority for r in o if r.o_orderkey % 2 == 0)
+    b = Counter(r.o_orderpriority for r in o if r.o_orderkey % 2 == 1)
+    got = Counter()
+    for r in _run(spark, "bag_set_ops_surface").collect():
+        got[(r.op, r.pri)] += 1
+    for pri in set(a) | set(b):
+        assert got.get(("except_all", pri), 0) == max(a[pri] - b[pri], 0)
+        assert got.get(("intersect_all", pri), 0) == min(a[pri], b[pri])
+
+
+def test_bitmap_distinct_exact(spark):
+    rows = _run(spark, "bitmap_distinct_counts").collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.bitmap_exact
+        assert r.n_distinct_bitmap == r.n_distinct_exact > 0

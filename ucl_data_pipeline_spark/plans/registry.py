@@ -97,6 +97,12 @@ def register(
 # later in the dict has a green row from rounds 2-4 (cumulative: all
 # 163 pre-round-5 queries checked, 162 exact on latest check).
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 5 (twelfth session batch: Spark 4 SQL surfaces)
+    "variant_extract_surface",
+    "listagg_surface",
+    "group_by_all_surface",
+    "bag_set_ops_surface",
+    "bitmap_distinct_counts",
     # new in round 5 (eleventh session batch)
     "join_size_from_histograms",
     "market_concentration_hhi",
@@ -145,23 +151,20 @@ EXPORT_FIRST: tuple[str, ...] = (
     "psi_price_drift",
     "weighted_median_price",
     # new in round 5 (second session batch)
-    "welch_ttest_promo",
-    "cusum_drift_daily",
-    "doc_bigram_likelihood",
     # new in round 5
-    "forecast_revenue_change",
-    "late_shipment_priority",
     "top_supplier_revenue",
     "kmeans_lloyd5",
     "ann_recall_ivf_at_3",
     "ann_recall_sq8_at_3",
     "ann_recall_pq_at_3",
     "robust_zscore_outliers_approx",
-    # 71 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the twenty-one deferred to the round-6 rotation
+    # 76 queries are NEW in round 5 vs the driver's 50-slot checked
+    # prefix; the twenty-six deferred to the round-6 rotation
     # (additionally: ohlc_resample_hourly — its stream-equals-batch
     # pytest pins the same selection logic — weekly_revenue_growth,
-    # conversion_wilson_ci, langid_confusion_f1) are the
+    # conversion_wilson_ci, langid_confusion_f1, welch_ttest_promo,
+    # cusum_drift_daily, doc_bigram_likelihood,
+    # forecast_revenue_change, late_shipment_priority) are the
     # lowest-risk integer-arithmetic / single-agg shapes or ones whose
     # exact float convention is already driver-covered by a same-math
     # sibling in the prefix (readability_scores,
