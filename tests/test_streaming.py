@@ -210,3 +210,28 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
     want = ohlc_resample_hourly(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
+
+
+def test_transform_with_state_api_gated():
+    # Spark 4's arbitrary-state successor API (transformWithState /
+    # transformWithStateInPandas, StatefulProcessor) is present in this
+    # PySpark build, but its driver worker requires the python
+    # `protobuf` package (pyspark/sql/streaming/proto/StateMessage_pb2),
+    # which is absent/broken in this sandbox (no pip installs) — a live
+    # query crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    # / "cannot import name 'descriptor' from 'google.protobuf'".
+    # The engine's working arbitrary-state path remains
+    # applyInPandasWithState (user_running_totals_stream, verified
+    # against its batch twin above); swap to the new API when the
+    # environment ships protobuf.
+    import pytest
+
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf unavailable: transformWithState runtime-gated")
