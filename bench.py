@@ -233,6 +233,12 @@ def main() -> None:
         # Total grows with operator coverage; mean is the
         # coverage-independent engine-speed number.
         "mean_query_sec": round(total / max(1, len(timings)), 4),
+        # r5+: every timed run starts with a cleared cache, so each
+        # query is priced at honest cold single-execution cost.
+        # r1-r4 numbers measured warm-cache repeats (persisted
+        # intermediates survived between runs) and are NOT comparable
+        # — they under-priced every query that persists.
+        "protocol": "cold-cache-per-run",
     }
     if not subset:
         regressions = _flag_and_update_history(timings, out["sf"])
