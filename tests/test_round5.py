@@ -1288,3 +1288,30 @@ def test_bitmap_distinct_exact(spark):
     for r in rows:
         assert r.bitmap_exact
         assert r.n_distinct_bitmap == r.n_distinct_exact > 0
+
+
+# ---------------------------------------------------------------------------
+# Corpus intake profile ops (extras15 tail)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_rate_consistent(spark):
+    rows = _run(spark, "doc_dedup_rate_by_source").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_unique_texts <= r.n_docs
+        assert math.isclose(
+            r.dup_rate, round(1.0 - r.n_unique_texts / r.n_docs, 6), abs_tol=1e-9
+        )
+
+
+def test_token_budget_histogram_mass(spark):
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = _run(spark, "token_budget_histogram").collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bucket_25 <= 8
+        lo = r.bucket_25 * 25
+        assert r.total_tokens >= lo * r.n_docs

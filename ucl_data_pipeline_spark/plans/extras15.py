@@ -239,3 +239,78 @@ def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM summed s JOIN exact e ON s.c_nationkey = e.c_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup-rate profile
+# ---------------------------------------------------------------------------
+
+_DEDUP_RATE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+@register("doc_dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE, tags=("dedup", "llm"))
+def doc_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: docs vs distinct content
+    hashes, the first column of every corpus intake report (a source
+    whose dup_rate spikes is a crawler re-fetching or a mirror — cut
+    it BEFORE the expensive near-dup stages run). COUNT(DISTINCT) runs
+    on the 32-byte digest, not the document, so the shuffle carries
+    hashes; the ratio is a division of exact integers, ROUND 6.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    uniq = F.count_distinct(F.md5("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        uniq.alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0) - uniq.cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget histogram (training-batch planning)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = r"""
+WITH tc AS (
+  SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(LEAST(n_tokens // 25, 8) AS INTEGER) AS bucket_25,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM tc GROUP BY 1
+"""
+
+
+@register("token_budget_histogram", oracle=_TOKEN_BUDGET_ORACLE, tags=("llm", "text"))
+def token_budget_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in 25-token buckets (capped at 200+) with
+    the total token mass per bucket — the two numbers that size a
+    training run: where the documents are versus where the TOKENS are
+    (a corpus can be 80% short docs yet 80% long-doc tokens, which
+    decides pack_sequences_greedy's context length). Scan-side token
+    count + one hash-agg on a 9-value domain; all integer.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        d.select(n.alias("n_tokens"))
+        .groupBy(
+            F.least(F.expr("n_tokens div 25"), F.lit(8))
+            .cast("int")
+            .alias("bucket_25")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
