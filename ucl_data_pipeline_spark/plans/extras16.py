@@ -1,0 +1,509 @@
+"""Round-5 inventory depth, fourteenth batch: correlated LATERAL
+top-n, time-interval RANGE window frames, cross-corpus duplicated-span
+profiling (the ExactSubstr dedup diagnostic), Kaplan–Meier survival,
+and the two workhorse nonparametric tests (Mann–Whitney U rank-sum,
+Kolmogorov–Smirnov two-sample drift).
+
+Registry conventions apply (plans/registry.py): exact decimal sums,
+ROUND 6 on transcendental/division outputs, atomic columns,
+BIGINT/DOUBLE/VARCHAR oracle casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery top-n (SQL surface)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.c_nationkey, t.c_custkey, t.c_acctbal
+FROM (SELECT DISTINCT c_nationkey FROM {customer}) n,
+LATERAL (SELECT c_custkey, c_acctbal FROM {customer} c
+         WHERE c.c_nationkey = n.c_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@register(
+    "lateral_topn_surface",
+    oracle=_LATERAL_SQL.format(customer="customer"),
+    tags=("sql", "join"),
+)
+def lateral_topn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL-standard spelling of
+    per-group top-n (top-2 customers by balance per nation), new as a
+    SQL surface in Spark 3.2+ and the idiom migrating users reach for
+    before they learn window functions. Catalyst decorrelates the
+    LATERAL into a ranked window under the hood (DomainJoin rewrite),
+    so the physical plan is the same single-shuffle rank-filter as
+    `window_top2_per_key` — this row pins that the surface agrees with
+    the window spelling's semantics AND with DuckDB's LATERAL. Ties
+    broken by custkey so the LIMIT is deterministic. At 100 TB the
+    decorrelation matters: a naive nested-loop LATERAL would rescan
+    the fact table per outer row; Catalyst's rewrite keeps it one scan.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("lateral_customer")
+    return spark.sql(_LATERAL_SQL.format(customer="lateral_customer"))
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame (SQL surface)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS rev_7d,
+       CAST(COUNT(*) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_7d
+FROM {orders}
+"""
+
+
+@register(
+    "range_interval_frame",
+    oracle=_RANGE_FRAME_SQL.format(orders="orders"),
+    tags=("window", "sql"),
+)
+def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame bounded by a calendar INTERVAL — trailing
+    7-day revenue and order count per customer, anchored on the ORDER
+    BY timestamp's VALUE rather than a row offset. This is the frame
+    `rows_between` cannot express when events are irregularly spaced
+    (a 3-rows-preceding frame is 3 orders, not 7 days), and the SQL
+    surface the DataFrame API lacks (rangeBetween takes longs, not
+    intervals — the engine's other spelling casts to epoch seconds).
+    RANGE frames include value-peers, so duplicate timestamps
+    aggregate identically regardless of physical row order —
+    deterministic by construction. Decimal window sums keep the money
+    column exact. One shuffle on the partition key; the frame itself
+    is evaluated with a sliding two-pointer over each sorted
+    partition, O(rows) not O(rows × frame).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("range_frame_orders")
+    return spark.sql(_RANGE_FRAME_SQL.format(orders="range_frame_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicated-span fraction (ExactSubstr dedup diagnostic)
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+  FROM toks, UNNEST(range(0, len(t) // 10)) AS u(i)
+),
+df AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS span_df FROM spans GROUP BY 1
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN f.span_df > 1 THEN 1 ELSE 0 END) AS dup_spans
+  FROM spans s JOIN df f USING (span)
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(dup_spans AS BIGINT) AS dup_spans,
+       ROUND(dup_spans * 1.0 / n_spans, 6) AS dup_ratio
+FROM per_doc
+"""
+
+
+@register("dup_span_fraction", oracle=_DUP_SPAN_ORACLE, tags=("llm", "dedup"))
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction — for each doc, the share
+    of its non-overlapping 10-token spans that also occur in at least
+    one OTHER document. This is the corpus diagnostic behind
+    exact-substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): docs with a high cross-corpus
+    span fraction are boilerplate/mirror candidates that near-dup
+    MinHash misses when the shared text is a sub-span rather than the
+    whole doc. Pipeline: scan-side span construction (transform over a
+    0..n/10 index sequence + array slice — no Python), one hash-agg
+    computing span document-frequency, one join back. Cross-doc
+    distinct-count (not raw occurrences) so a doc repeating its own
+    span doesn't self-flag. At 100 TB the spans would be xxhash64
+    digests rather than strings (noted, not needed for correctness)
+    and the span-df agg is map-side combinable; there is no pairwise
+    stage at all — this profile costs two shuffles regardless of the
+    duplicate rate, unlike pair-enumerating dedup.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.size("t") / 10) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("t", i * 10 + 1, F.lit(10))
+                ),
+            )
+        ).alias("span"),
+    )
+    span_df = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("span_df")
+    )
+    per_doc = (
+        spans.join(span_df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("span_df") > 1, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.col("dup_spans").cast("bigint").alias("dup_spans"),
+        F.round(F.col("dup_spans") * 1.0 / F.col("n_spans"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator over user lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         MIN(ts) AS first_ts,
+         MAX(ts) AS last_ts,
+         MIN(CASE WHEN value > 200 THEN ts END) AS hit_ts
+  FROM events GROUP BY user_id
+),
+durs AS (
+  SELECT user_id,
+         epoch_us(COALESCE(hit_ts, last_ts)) // 3600000000
+           - epoch_us(first_ts) // 3600000000 AS dur,
+         CASE WHEN hit_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM users
+),
+by_dur AS (
+  SELECT dur,
+         SUM(observed) AS d,
+         COUNT(*) - SUM(observed) AS c
+  FROM durs GROUP BY dur
+),
+risk AS (
+  SELECT dur, d, c,
+         (SELECT COUNT(*) FROM durs)
+           - (SUM(d + c) OVER (ORDER BY dur) - (d + c)) AS n_risk
+  FROM by_dur
+),
+km AS (
+  SELECT dur, d, c, n_risk,
+         EXP(SUM(LN((n_risk - d) * 1.0 / n_risk)) OVER (ORDER BY dur))
+           AS surv
+  FROM risk
+  WHERE n_risk > d
+)
+SELECT CAST(dur AS BIGINT) AS duration_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       ROUND(surv, 6) AS survival
+FROM km
+WHERE d > 0
+"""
+
+
+@register("kaplan_meier_survival", oracle=_KM_ORACLE, tags=("stats", "window"))
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-high-value-event —
+    hours from a user's first event until their first event with
+    value > 200, right-CENSORED at the user's last observed event for
+    users who never cross the threshold. The censoring-aware estimate
+    a naive "mean hours to conversion over converters" biases low
+    (it silently drops exactly the users with the longest times).
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with the standard
+    censored-after-death tie convention. Durations are hour-bucket
+    diffs (floor(epoch_us/3.6e9) deltas — boundary-crossing
+    semantics, identical integer arithmetic on both engines; Spark's
+    timestampdiff counts COMPLETE hours and DuckDB's date_diff counts
+    boundaries, so neither raw builtin is used). Three bounded
+    stages: per-user agg (fact-grain, one shuffle), duration-grain
+    agg (≤ observation-window hours — tiny, single-partition window
+    is safe at any corpus scale), ordered cumulative product via
+    exp∘Σln (ROUND 6; ln is last-ulp libm-dependent). Rows are the
+    event times (d > 0), the curve's support.
+    """
+    from ucl_data_pipeline_spark.functions.scalar import epoch_us
+
+    e = read_table(spark, sf_dir, "events")
+    hour = lambda c: F.floor(epoch_us(c) / F.lit(3_600_000_000))  # noqa: E731
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("value") > 200, F.col("ts"))).alias("hit_ts"),
+    )
+    durs = users.select(
+        (
+            hour(F.coalesce("hit_ts", "last_ts")) - hour("first_ts")
+        ).alias("dur"),
+        F.when(F.col("hit_ts").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    by_dur = durs.groupBy("dur").agg(
+        F.sum("observed").alias("d"),
+        (F.count("*") - F.sum("observed")).alias("c"),
+    )
+    total = durs.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("dur")
+    risk = by_dur.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - (
+                F.sum(F.col("d") + F.col("c")).over(w)
+                - (F.col("d") + F.col("c"))
+            )
+        ).alias("n_risk"),
+    )
+    km = risk.filter(F.col("n_risk") > F.col("d")).select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk"))
+            ).over(w)
+        ).alias("surv"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("dur").cast("bigint").alias("duration_hours"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round("surv", 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U rank-sum test (tie-corrected normal approximation)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH sample AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp_a
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+ranked AS (
+  SELECT v, grp_a,
+         RANK() OVER (ORDER BY v)
+           + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS avg_rank
+  FROM sample
+),
+ties AS (
+  SELECT SUM(t * t * t - t) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM sample GROUP BY v)
+),
+stats AS (
+  SELECT SUM(CASE WHEN grp_a = 1
+                  THEN CAST(avg_rank AS DECIMAL(18,1))
+                  ELSE CAST(0 AS DECIMAL(18,1)) END) AS ra,
+         SUM(grp_a) AS na,
+         COUNT(*) - SUM(grp_a) AS nb
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(ra - CAST(na * (na + 1) AS DECIMAL(18,1)) / 2 AS DOUBLE) AS u_a,
+       ROUND(
+         (CAST(ra AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
+         / SQRT(na * 1.0 * nb / 12.0
+                * ((na + nb + 1)
+                   - tie_term * 1.0 / ((na + nb) * (na + nb - 1)))),
+         6) AS z_score
+FROM stats, ties
+"""
+
+
+@register("mann_whitney_u", oracle=_MWU_ORACLE, tags=("stats", "window"))
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test — do URGENT orders carry different
+    totals than LOW-priority ones? — the nonparametric complement to
+    `welch_ttest_promo` that makes no normality assumption (rank-based,
+    robust to the heavy right tail money columns always have).
+    Midranks for ties via RANK() + (peer_count−1)/2 (one global sort
+    window — acceptable because the test statistic itself is global;
+    at 100 TB you'd pre-aggregate to value-grain first, which the tie
+    CTE already demonstrates), rank-sum in exact DECIMAL(18,1) (ranks
+    are half-integers, so decimal sums are exact and
+    order-independent), and the tie-corrected normal approximation
+    z = (U − n_a·n_b/2) / σ_ties. U is emitted exactly; z is ROUND 6
+    (sqrt is IEEE-correctly-rounded, but the division chain warrants
+    the engine's standard transcendental guard).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    sample = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp_a"),
+    )
+    ranked = sample.select(
+        "v",
+        "grp_a",
+        (
+            F.rank().over(Window.orderBy("v"))
+            + (F.count("*").over(Window.partitionBy("v")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    ties = (
+        sample.groupBy("v")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_term")
+        )
+    )
+    stats = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("grp_a") == 1,
+                F.col("avg_rank").cast("decimal(18,1)"),
+            ).otherwise(F.lit(0).cast("decimal(18,1)"))
+        ).alias("ra"),
+        F.sum("grp_a").alias("na"),
+        (F.count("*") - F.sum("grp_a")).alias("nb"),
+    )
+    joined = stats.crossJoin(F.broadcast(ties))
+    na, nb, ra = F.col("na"), F.col("nb"), F.col("ra")
+    sigma = F.sqrt(
+        na * 1.0 * nb / 12.0
+        * (
+            (na + nb + 1)
+            - F.col("tie_term") * 1.0 / ((na + nb) * (na + nb - 1))
+        )
+    )
+    return joined.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (ra - (na * (na + 1)).cast("decimal(18,1)") / 2)
+        .cast("double")
+        .alias("u_a"),
+        F.round(
+            (ra.cast("double") - na * (na + 1) / 2.0 - na * nb / 2.0)
+            / sigma,
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample drift statistic
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH sample AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END
+           AS grp_a
+  FROM lineitem
+),
+counts AS (
+  SELECT v, SUM(grp_a) AS ca, COUNT(*) - SUM(grp_a) AS cb
+  FROM sample GROUP BY v
+),
+totals AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+),
+ecdf AS (
+  SELECT SUM(ca) OVER (ORDER BY v) * 1.0 / totals.na AS fa,
+         SUM(cb) OVER (ORDER BY v) * 1.0 / totals.nb AS fb
+  FROM counts, totals
+)
+SELECT CAST(totals.na AS BIGINT) AS n_a,
+       CAST(totals.nb AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(fa - fb)), 6) AS ks_d,
+       ROUND(1.358 * SQRT((totals.na + totals.nb) * 1.0
+                          / (totals.na * totals.nb)), 6) AS crit_05,
+       MAX(ABS(fa - fb))
+         > 1.358 * SQRT((totals.na + totals.nb) * 1.0
+                        / (totals.na * totals.nb)) AS drifted
+FROM ecdf, totals
+GROUP BY totals.na, totals.nb
+"""
+
+
+@register("ks_two_sample_drift", oracle=_KS_ORACLE, tags=("stats", "window"))
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — the max vertical gap
+    between the price ECDFs of early (pre-1998H2) vs late shipments —
+    the distribution-drift test that, unlike `psi_price_drift`'s
+    binned PSI, is binning-free and sensitive to shifts anywhere in
+    the distribution. Pre-aggregates to value-grain counts FIRST (one
+    map-combinable hash-agg), so the ordered ECDF window runs over
+    distinct values, not raw rows — the standard trick that makes a
+    global-ordering statistic tractable at fact scale (distinct prices
+    ≪ rows; at 100 TB you'd quantize values to fix the grain). All
+    arithmetic is rational (integer cumsums, one division) plus one
+    IEEE-exact sqrt for the 5%-level critical value D_crit =
+    1.358·√((n_a+n_b)/(n_a·n_b)); the drifted flag compares UNROUNDED
+    values so it cannot disagree across engines with the displayed
+    ROUND-6 pair.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sample = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("grp_a"),
+    )
+    counts = sample.groupBy("v").agg(
+        F.sum("grp_a").alias("ca"),
+        (F.count("*") - F.sum("grp_a")).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = Window.orderBy("v")
+    ecdf = counts.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+    )
+    gap = F.max(F.abs(F.col("fa") - F.col("fb")))
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))
+    )
+    return ecdf.groupBy("na", "nb").agg(
+        gap.alias("_d"), F.first("na").alias("_na")
+    ).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("_d"), 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("_d") > crit).alias("drifted"),
+    )
