@@ -28,12 +28,29 @@ job would terminate in a write) and runs BENCH_RUNS times keeping the
 fastest — the first run of a plan shape pays one-time Janino codegen
 compilation, amortized to nothing over a real workload, so
 steady-state is the honest engine-speed number.
+
+Calibration (round-6 fix): the r5 regression tracker stored RAW best
+seconds, seeded in one mid-round run that happened to land on a fast
+session — 11 queries then reproduced 1.5-2.0x their stored bests in
+EVERY later session and the downward-only ratchet could never
+self-correct (VERDICT r5 "What's wrong" 1). Absolute wall-clock on a
+shared box drifts ±2x session-to-session for reasons that have nothing
+to do with plans (host load, CPU frequency, page cache). Each chunk
+JVM therefore also times one FIXED calibration plan (a TPC-H-Q1-shaped
+lineitem aggregation, spelled inline here so registry edits can't move
+it), and the history stores each query's best NORMALIZED time
+t_query / t_calib-of-its-chunk. Session speed multiplies numerator and
+denominator equally, so the ratio isolates plan drift — a real
+regression moves the ratio, a slow session doesn't. The raw-seconds
+"queries" map in the output is unchanged (the driver's contract);
+regression flags are computed on ratios.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -42,17 +59,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ucl_data_pipeline_spark.plans import REGISTRY
 
-# Per-query best-ever isolated timings (regression tracker). Seeded in
-# round 5 from a full fresh-JVM chunked run at sf0.1; every subsequent
-# full run flags queries >1.5x their best prior number in the output
-# JSON ("regressions") and ratchets the stored best downward — drift
-# can never hide for a round again. History is only consulted/updated
-# for full-suite runs at the default sf0.1 (subset and off-SF runs
-# aren't comparable).
+# Per-query best-ever NORMALIZED timings (regression tracker) — see the
+# calibration note in the module docstring. A history whose epoch
+# differs from EPOCH is discarded and re-seeded from the current run
+# (r5's raw-seconds epoch is exactly such a discard: its bests were
+# provably a fast-session artifact, not faster plans).
 HISTORY_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
 )
+EPOCH = "r6-calibrated-norm"
 REGRESSION_RATIO = 1.5
+
+# Queries whose cost is priced separately from the headline mean:
+# "baseline" = deliberately-unoptimized exact reference implementations
+# that exist only to grade ANN variants; "iterative" = multi-job
+# iterative algorithms (Lloyd loops, label propagation, PageRank
+# supersteps) whose cost is iteration depth, not per-pass plan quality.
+_EXCLUDED_MEAN_TAGS = ("baseline", "iterative")
 
 
 def _load_history() -> dict:
@@ -60,36 +83,49 @@ def _load_history() -> dict:
         with open(HISTORY_PATH) as f:
             return json.load(f)
     except (OSError, ValueError):
-        return {"epoch": None, "best": {}}
+        return {}
 
 
-def _flag_and_update_history(timings: dict[str, float], sf: float | None):
-    """Return the regression list and ratchet the stored bests."""
+def _flag_and_update_history(norms: dict[str, float], sf: float | None):
+    """Return (regressions, reseeded) and ratchet the stored bests.
+
+    `norms` maps query → t_query / t_calib for this run. Comparisons
+    and storage are entirely in normalized units; `reseeded` is True
+    when the stored epoch was absent/foreign and the history was
+    re-initialized from this run (no flags reported — there is nothing
+    comparable to flag against).
+    """
     hist = _load_history()
-    if sf != hist.get("sf", 0.1):
-        return None  # not comparable to the stored epoch
-    best = hist.setdefault("best", {})
+    reseeded = hist.get("epoch") != EPOCH or hist.get("sf") != sf
+    if reseeded:
+        hist = {"epoch": EPOCH, "sf": sf, "best_norm": {}}
+    best = hist.setdefault("best_norm", {})
     regressions = []
-    for name, t in timings.items():
+    for name, r in norms.items():
         b = best.get(name)
-        if b is not None and b > 0 and t > REGRESSION_RATIO * b:
+        if (
+            not reseeded
+            and b is not None
+            and b > 0
+            and r > REGRESSION_RATIO * b
+        ):
             regressions.append(
                 {
                     "query": name,
-                    "sec": t,
-                    "best_sec": b,
-                    "ratio": round(t / b, 2),
+                    "norm": round(r, 3),
+                    "best_norm": round(b, 3),
+                    "ratio": round(r / b, 2),
                 }
             )
-        if b is None or t < b:
-            best[name] = t
+        if b is None or r < b:
+            best[name] = round(r, 4)
     regressions.sort(key=lambda r: -r["ratio"])
     try:
         with open(HISTORY_PATH, "w") as f:
             json.dump(hist, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: still report, just don't ratchet
-    return regressions
+    return regressions, reseeded
 
 
 def _sf_of(sf_dir: str) -> float | None:
@@ -102,8 +138,40 @@ def _sf_of(sf_dir: str) -> float | None:
     return None
 
 
-def _run_in_process(names: list[str], sf_dir: str) -> dict[str, float]:
-    """Measure `names` in this process's (fresh) Spark session."""
+def _calibrate(spark, sf_dir: str) -> float:
+    """Time the fixed calibration plan (best of 3, cold cache each) —
+    the per-JVM speed yardstick every query in this chunk divides by.
+    Spelled inline (NOT a registry lookup) so the yardstick can never
+    change shape when the registry evolves."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_price"),
+                F.count("*").alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _run_in_process(
+    names: list[str], sf_dir: str
+) -> tuple[dict[str, float], float]:
+    """Measure `names` in this process's (fresh) Spark session.
+    Returns (timings, calibration_sec)."""
     from pyspark.sql import functions as F
 
     from ucl_data_pipeline_spark import get_spark
@@ -119,6 +187,7 @@ def _run_in_process(names: list[str], sf_dir: str) -> dict[str, float]:
     warm.groupBy("n_regionkey").agg(F.count("*")).write.format("noop").mode(
         "overwrite"
     ).save()
+    calib = _calibrate(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     max_runs = max(runs, int(os.environ.get("BENCH_MAX_RUNS", "4")))
@@ -161,12 +230,17 @@ def _run_in_process(names: list[str], sf_dir: str) -> dict[str, float]:
             if done >= max_runs or spent > 15.0 or not improved:
                 break
         timings[name] = round(best, 3)
-    return timings
+    return timings, calib
 
 
-def _run_chunked(names: list[str], chunk: int) -> dict[str, float]:
-    """Measure `names` in fresh-JVM subprocesses of `chunk` queries."""
+def _run_chunked(
+    names: list[str], chunk: int
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Measure `names` in fresh-JVM subprocesses of `chunk` queries.
+    Returns (timings, norms): norms divide each query by ITS OWN
+    chunk's calibration, so per-JVM speed variance cancels too."""
     timings: dict[str, float] = {}
+    norms: dict[str, float] = {}
     for i in range(0, len(names), chunk):
         part = names[i : i + chunk]
         env = dict(os.environ)
@@ -192,8 +266,13 @@ def _run_chunked(names: list[str], chunk: int) -> dict[str, float]:
                 f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n"
             )
             continue
-        timings.update(json.loads(line)["queries"])
-    return timings
+        payload = json.loads(line)
+        timings.update(payload["queries"])
+        calib = payload.get("calib_sec") or 0.0
+        if calib > 0:
+            for n, t in payload["queries"].items():
+                norms[n] = t / calib
+    return timings, norms
 
 
 def main() -> None:
@@ -201,14 +280,19 @@ def main() -> None:
     subset = os.environ.get("BENCH_QUERIES")
     chunk = int(os.environ.get("BENCH_CHUNK", "25"))
 
+    calibs: list[float] = []
+    norms: dict[str, float] = {}
     if subset:
         # Child-chunk / explicit-subset mode: measure in THIS process.
         names = [n.strip() for n in subset.split(",") if n.strip()]
-        timings = _run_in_process(names, sf_dir)
+        timings, calib = _run_in_process(names, sf_dir)
+        calibs.append(calib)
+        if calib > 0:
+            norms = {n: t / calib for n, t in timings.items()}
     else:
         names = sorted(REGISTRY)  # stable order across rounds
         if chunk > 0:
-            timings = _run_chunked(names, chunk)
+            timings, norms = _run_chunked(names, chunk)
             missing = [n for n in names if n not in timings]
             if missing:
                 # Safety net: if subprocess isolation failed in this
@@ -218,11 +302,25 @@ def main() -> None:
                     f"bench: {len(missing)} queries missing from chunked "
                     "run; measuring in-process\n"
                 )
-                timings.update(_run_in_process(missing, sf_dir))
+                extra, calib = _run_in_process(missing, sf_dir)
+                timings.update(extra)
+                if calib > 0:
+                    norms.update(
+                        {n: t / calib for n, t in extra.items()}
+                    )
         else:
-            timings = _run_in_process(names, sf_dir)
+            timings, calib = _run_in_process(names, sf_dir)
+            calibs.append(calib)
+            if calib > 0:
+                norms = {n: t / calib for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    tags = {n: list(REGISTRY[n].tags) for n in timings if n in REGISTRY}
+    headline = [
+        n
+        for n in timings
+        if not any(t in _EXCLUDED_MEAN_TAGS for t in tags.get(n, ()))
+    ]
     out = {
         "metric": "engine_query_suite_runtime",
         "value": total,
@@ -233,6 +331,15 @@ def main() -> None:
         # Total grows with operator coverage; mean is the
         # coverage-independent engine-speed number.
         "mean_query_sec": round(total / max(1, len(timings)), 4),
+        # Headline mean excludes "baseline"-tagged rows (deliberately
+        # unoptimized exact references that only exist to grade ANN
+        # recall) and "iterative"-tagged rows (multi-job Lloyd/PageRank
+        # loops priced by iteration depth) — per-query "tags" lets any
+        # reader slice differently.
+        "mean_query_sec_headline": round(
+            sum(timings[n] for n in headline) / max(1, len(headline)), 4
+        ),
+        "tags": tags,
         # r5+: every timed run starts with a cleared cache, so each
         # query is priced at honest cold single-execution cost.
         # r1-r4 numbers measured warm-cache repeats (persisted
@@ -240,10 +347,26 @@ def main() -> None:
         # — they under-priced every query that persists.
         "protocol": "cold-cache-per-run",
     }
-    if not subset:
-        regressions = _flag_and_update_history(timings, out["sf"])
-        if regressions is not None:
+    if subset and calibs:
+        out["calib_sec"] = round(calibs[0], 3)
+    if not subset and norms:
+        out["calib_sec_median"] = round(
+            statistics.median(
+                t / norms[n]
+                for n, t in timings.items()
+                if n in norms and norms[n] > 0
+            ),
+            3,
+        )
+        if out["sf"] == 0.1:
+            # The history epoch tracks the default driver SF only —
+            # full runs at other SFs are not comparable and must not
+            # touch (let alone reseed) the stored bests.
+            regressions, reseeded = _flag_and_update_history(
+                norms, out["sf"]
+            )
             out["regressions"] = regressions
+            out["history_reseeded"] = reseeded
     print(json.dumps(out))
 
 

@@ -148,11 +148,20 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # Docs with <10 tokens must yield ZERO spans. An unguarded
+    # sequence(0, floor(size/10)-1) becomes sequence(0, -1), which
+    # Spark evaluates as the DESCENDING list [0, -1] (not empty!) and
+    # the i=-1 branch would slice from the array's end — while the
+    # oracle's range(0, 0) is empty. Guard the index list explicitly.
+    idx = F.when(
+        F.size("t") >= 10,
+        F.sequence(F.lit(0), F.floor(F.size("t") / 10) - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
     spans = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.floor(F.size("t") / 10) - 1),
+                idx,
                 lambda i: F.concat_ws(
                     " ", F.slice("t", i * 10 + 1, F.lit(10))
                 ),
@@ -337,9 +346,9 @@ SELECT CAST(na AS BIGINT) AS n_a,
        CAST(ra - CAST(na * (na + 1) AS DECIMAL(18,1)) / 2 AS DOUBLE) AS u_a,
        ROUND(
          (CAST(ra AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
-         / SQRT(na * 1.0 * nb / 12.0
+         / NULLIF(SQRT(na * 1.0 * nb / 12.0
                 * ((na + nb + 1)
-                   - tie_term * 1.0 / ((na + nb) * (na + nb - 1)))),
+                   - tie_term * 1.0 / ((na + nb) * (na + nb - 1)))), 0),
          6) AS z_score
 FROM stats, ties
 """
@@ -412,9 +421,12 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ra - (na * (na + 1)).cast("decimal(18,1)") / 2)
         .cast("double")
         .alias("u_a"),
+        # sigma is 0 when every sampled value is identical (full tie
+        # correction): DuckDB x/0 diverges from Spark, so both sides
+        # null the degenerate case (NULLIF in the oracle).
         F.round(
             (ra.cast("double") - na * (na + 1) / 2.0 - na * nb / 2.0)
-            / sigma,
+            / F.nullif(sigma, F.lit(0.0)),
             6,
         ).alias("z_score"),
     )
@@ -439,18 +451,18 @@ totals AS (
   SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
 ),
 ecdf AS (
-  SELECT SUM(ca) OVER (ORDER BY v) * 1.0 / totals.na AS fa,
-         SUM(cb) OVER (ORDER BY v) * 1.0 / totals.nb AS fb
+  SELECT SUM(ca) OVER (ORDER BY v) * 1.0 / NULLIF(totals.na, 0) AS fa,
+         SUM(cb) OVER (ORDER BY v) * 1.0 / NULLIF(totals.nb, 0) AS fb
   FROM counts, totals
 )
 SELECT CAST(totals.na AS BIGINT) AS n_a,
        CAST(totals.nb AS BIGINT) AS n_b,
        ROUND(MAX(ABS(fa - fb)), 6) AS ks_d,
        ROUND(1.358 * SQRT((totals.na + totals.nb) * 1.0
-                          / (totals.na * totals.nb)), 6) AS crit_05,
+                          / NULLIF(totals.na * totals.nb, 0)), 6) AS crit_05,
        MAX(ABS(fa - fb))
          > 1.358 * SQRT((totals.na + totals.nb) * 1.0
-                        / (totals.na * totals.nb)) AS drifted
+                        / NULLIF(totals.na * totals.nb, 0)) AS drifted
 FROM ecdf, totals
 GROUP BY totals.na, totals.nb
 """
@@ -487,20 +499,25 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
+    # One empty shipdate group makes na (or nb, or na*nb) zero: Spark
+    # x/0 is NULL while DuckDB raises / yields inf — NULLIF-guard every
+    # division on both sides so degenerate inputs agree (both NULL).
     w = Window.orderBy("v")
     ecdf = counts.crossJoin(F.broadcast(totals)).select(
         "na",
         "nb",
-        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
-        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+        (F.sum("ca").over(w) * 1.0 / F.nullif(F.col("na"), F.lit(0)))
+        .alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.nullif(F.col("nb"), F.lit(0)))
+        .alias("fb"),
     )
     gap = F.max(F.abs(F.col("fa") - F.col("fb")))
     crit = 1.358 * F.sqrt(
-        (F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))
+        (F.col("na") + F.col("nb"))
+        * 1.0
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0))
     )
-    return ecdf.groupBy("na", "nb").agg(
-        gap.alias("_d"), F.first("na").alias("_na")
-    ).select(
+    return ecdf.groupBy("na", "nb").agg(gap.alias("_d")).select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         F.round(F.col("_d"), 6).alias("ks_d"),

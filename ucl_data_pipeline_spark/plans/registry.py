@@ -86,102 +86,73 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-5 priority: (1) new registrations (TPC-H Q6/Q12/Q15 completing
-# the 22/22 sweep, kmeans_lloyd5 full-depth unrolled oracle, the three
-# new ANN recall gates, the sketch-based robust z-score); (2) queries
-# whose code or oracle changed this round (bounded brute-force
-# baseline + its recall gate's synced oracle spelling, degree-ordered
-# triangle counting, MAD=0 guard, kmeans seed-id assert); (3) the
-# stalest green rows — queries last driver-checked in round 1 — so the
-# 50-slot budget refreshes cumulative coverage oldest-first. Everything
-# later in the dict has a green row from rounds 2-4 (cumulative: all
-# 163 pre-round-5 queries checked, 162 exact on latest check).
+# Round-6 priority (the driver checks the first 50): (1) the two new
+# round-6 registrations (IVF nprobe=2 + its recall gate); (2) ALL 34
+# queries that have never had a driver CORRECTNESS row in rounds 1-5
+# (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
+# the 22/22 sweep is closed by the hard signal), which closes
+# cumulative driver coverage to 249/249; (3) the remaining 14 slots go
+# to the stalest green rows — queries last driver-checked in round 1.
+# Everything later in the dict has a green row from rounds 1-5
+# (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
+# latest check) and stays locally verified by tools/verify_local.py /
+# the parametrized pytest oracle suite.
 EXPORT_FIRST: tuple[str, ...] = (
-    # new in round 5 (twelfth session batch: Spark 4 SQL surfaces)
-    "variant_extract_surface",
-    "listagg_surface",
-    "group_by_all_surface",
-    "bag_set_ops_surface",
-    "bitmap_distinct_counts",
-    # new in round 5 (eleventh session batch)
-    "join_size_from_histograms",
-    "market_concentration_hhi",
-    "calendar_dim_coverage",
-    "share_of_parent_rollup",
-    # new in round 5 (tenth session batch)
-    "epoch_shuffle_shards",
-    "doc_language_mix",
-    "embedding_norm_quantiles",
-    # new in round 5 (ninth session batch)
-    "chi_square_independence",
-    "mutual_information_flags",
-    "churn_resurrection_stats",
-    "out_of_order_stats",
-    # new in round 5 (eighth session batch)
-    "recursive_reachability_sql",
-    "event_pattern_vvp",
-    "session_length_histogram",
-    # new in round 5 (seventh session batch)
-    "hll_distinct_error_gate",
-    "trade_modularity_score",
-    "crosscorr_event_series",
-    "constraint_violation_audit",
-    "trending_event_types_hourly",
-    # new in round 5 (fifth/sixth session batches)
-    "sliding_distinct_users_7d",
-    "largest_remainder_apportion",
-    "count_min_estimate_error",
-    "zorder_layout_stats",
-    "scd2_point_in_time_join",
-    "holt_linear_forecast",
-    "cheapest_route_nations",
-    "jaccard_prefix_filter_pairs",
-    "range_partition_boundaries",
-    # new in round 5 (fourth session batch)
-    "ann_ndcg_at_10",
-    "assoc_rules_lift",
-    "iqr_outlier_fences",
-    "rfm_segmentation",
-    "ship_latency_quantiles",
-    "embedding_centroid_shift",
-    # new in round 5 (third session batch)
-    "seasonal_dow_decompose",
-    "corr_matrix_lineitem",
-    "ols_slope_per_nation",
-    "psi_price_drift",
-    "weighted_median_price",
-    # new in round 5 (second session batch)
-    # new in round 5
-    "top_supplier_revenue",
-    "kmeans_lloyd5",
-    "ann_recall_ivf_at_3",
-    "ann_recall_sq8_at_3",
-    "ann_recall_pq_at_3",
-    "robust_zscore_outliers_approx",
-    # 76 queries are NEW in round 5 vs the driver's 50-slot checked
-    # prefix; the twenty-six deferred to the round-6 rotation
-    # (additionally: ohlc_resample_hourly — its stream-equals-batch
-    # pytest pins the same selection logic — weekly_revenue_growth,
-    # conversion_wilson_ci, langid_confusion_f1, welch_ttest_promo,
-    # cusum_drift_daily, doc_bigram_likelihood,
-    # forecast_revenue_change, late_shipment_priority) are the
-    # lowest-risk integer-arithmetic / single-agg shapes or ones whose
-    # exact float convention is already driver-covered by a same-math
-    # sibling in the prefix (readability_scores,
-    # null_safe_join_surface, not_in_null_semantics, skew_key_profile,
-    # argmax_surface, bayesian_smoothed_rating,
-    # cumulative_distinct_users, benford_first_digit,
-    # interval_union_coverage, l_diversity_check,
-    # quantile_normalize_feature, rolling_median_frame,
-    # neighbor_jaccard_nodes, weighted_sample_ares,
-    # gini_revenue_concentration, autocorr_daily_revenue — its exact-
-    # decimal Pearson spelling is in-prefix via crosscorr_event_series
-    # — minhash_jaccard_error), and the round-5
-    # re-touched names (embedding_topk_cosine, triangle_count_trade,
-    # robust_zscore_outliers, ann_recall_at_3, kmeans_lloyd2,
-    # kmeans_assign, token_pmi_pairs) also roll forward. ALL of them
-    # were verified oracle-exact at sf0.01 in BOTH ANSI modes this
-    # session by tools/verify_local.py sweeps.
+    # new in round 6
+    "embedding_ivf2_topk",
+    "ann_recall_ivf2_at_3",
+    # never driver-checked (34): TPC-H twins first
+    "forecast_revenue_change",
+    "late_shipment_priority",
+    # never driver-checked: round-6-touched degenerate-input fixes
+    "dup_span_fraction",
+    "mann_whitney_u",
+    "ks_two_sample_drift",
+    # never driver-checked: remainder of the round-5 extras batches
+    "cumulative_distinct_users",
+    "gini_revenue_concentration",
+    "welch_ttest_promo",
+    "weighted_sample_ares",
+    "neighbor_jaccard_nodes",
+    "rolling_median_frame",
+    "ohlc_resample_hourly",
+    "cusum_drift_daily",
+    "autocorr_daily_revenue",
+    "benford_first_digit",
+    "minhash_jaccard_error",
+    "doc_bigram_likelihood",
+    "quantile_normalize_feature",
+    "interval_union_coverage",
+    "weekly_revenue_growth",
+    "conversion_wilson_ci",
+    "langid_confusion_f1",
+    "readability_scores",
+    "null_safe_join_surface",
+    "not_in_null_semantics",
+    "skew_key_profile",
+    "argmax_surface",
+    "bayesian_smoothed_rating",
+    "l_diversity_check",
+    "doc_dedup_rate_by_source",
+    "token_budget_histogram",
+    "lateral_topn_surface",
+    "range_interval_frame",
+    "kaplan_meier_survival",
+    # stalest green rows (last checked round 1) — 14 slots
+    "anti_join_no_orders",
+    "bpe_token_count",
+    "conditional_agg",
+    "count_distinct_agg",
+    "cube_status_priority",
+    "date_parse_multi",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_first_wins",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "embedding_topk_cosine",
 )
 
 
