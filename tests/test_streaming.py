@@ -234,4 +234,110 @@ def test_transform_with_state_api_gated():
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("protobuf unavailable: transformWithState runtime-gated")
+        # xfail, not skip: this is a KNOWN environment defect with a
+        # recorded probe (SCALE_NOTES.md "transformWithState probe";
+        # the live-query attempt fails with
+        # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). pip installs
+        # are not possible here, so the expected-failure is
+        # load-bearing documentation: the moment the environment ships
+        # a working protobuf this XPASSes and tells us to wire
+        # transformWithState for real.
+        pytest.xfail(
+            "protobuf unavailable: transformWithState runtime-gated "
+            "(see SCALE_NOTES.md 'transformWithState probe')"
+        )
+
+
+def test_session_length_stream_equals_batch_histogram(
+    spark, sf_dir, events_dir, tmp_path
+):
+    # The streaming sessionizer (session_window with the +1µs gap that
+    # aligns Spark's strictly-within merge rule with the batch query's
+    # strictly-greater cut) must reproduce the registered
+    # session_length_histogram exactly once its closed sessions are
+    # rolled up.
+    from ucl_data_pipeline_spark.plans.extras11 import session_length_histogram
+    from ucl_data_pipeline_spark.streaming import (
+        rollup_session_histogram,
+        session_length_stream,
+    )
+
+    stream = session_length_stream(read_events_stream(spark, events_dir))
+    sessions = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = rollup_session_histogram(sessions)
+    want = session_length_histogram(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_late_events_stream_equals_batch_single_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    # One micro-batch (no maxFilesPerTrigger): the stateful function's
+    # within-batch event_id sort IS the batch query's arrival order, so
+    # the rolled-up partials must match out_of_order_stats exactly.
+    from ucl_data_pipeline_spark.plans.extras12 import out_of_order_stats
+    from ucl_data_pipeline_spark.streaming import (
+        late_events_stream,
+        rollup_late_stats,
+    )
+
+    stream = late_events_stream(read_events_stream(spark, events_dir))
+    partials = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="update"
+    )
+    got = rollup_late_stats(partials)
+    want = out_of_order_stats(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_late_events_stream_state_across_ordered_batches(
+    spark, sf_dir, tmp_path
+):
+    # TWO micro-batches in event_id-range order: the per-user high
+    # water must carry through the state store across batches. Files
+    # are range-partitioned on event_id and given strictly increasing
+    # mtimes (the file source processes oldest-first), so arrival
+    # order == event_id order == the batch query's definition.
+    import glob
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ucl_data_pipeline_spark.plans.extras12 import out_of_order_stats
+    from ucl_data_pipeline_spark.streaming import (
+        late_events_stream,
+        rollup_late_stats,
+    )
+
+    d = str(tmp_path / "ordered_events")
+    read_table(spark, sf_dir, "events").repartitionByRange(
+        2, "event_id"
+    ).write.parquet(d)
+    files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(files) == 2
+    by_min = sorted(
+        files,
+        key=lambda f: min(
+            pq.read_table(f, columns=["event_id"])
+            .column("event_id")
+            .to_pylist()
+        ),
+    )
+    now = time.time()
+    for i, f in enumerate(by_min):
+        os.utime(f, (now - 120 + i * 60, now - 120 + i * 60))
+
+    stream = late_events_stream(
+        read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    partials = run_available_now(
+        stream, str(tmp_path / "ckpt2"), output_mode="update"
+    )
+    # Update-mode partials are per-batch DELTAS (additive), so two
+    # batches ⇒ up to two rows per (user, type); the rollup sums them.
+    got = rollup_late_stats(partials)
+    want = out_of_order_stats(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)

@@ -3,9 +3,13 @@
 from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
     dedup_within_watermark,
     interval_join_stream,
+    late_events_stream,
     ohlc_stream,
     read_events_stream,
+    rollup_late_stats,
+    rollup_session_histogram,
     run_available_now,
+    session_length_stream,
     session_window_stream,
     sliding_window_stream,
     tumbling_window_stream,

@@ -304,3 +304,142 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 stream-side witnesses for the r5 temporal batch operators
+# ---------------------------------------------------------------------------
+
+def session_length_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user sessions via ``session_window`` — the streaming twin of
+    the batch ``session_length_histogram``'s gaps-and-islands
+    sessionization stage (plans/extras11.py).
+
+    Semantics alignment: the batch query starts a NEW session when the
+    gap to the previous event is STRICTLY greater than ``gap_minutes``
+    (gap == 30:00.000000 stays in-session), while Spark's
+    ``session_window(gap)`` merges an event only when it arrives
+    strictly WITHIN gap of the session end (gap == the window length
+    starts a new session). Widening the streaming gap by one
+    microsecond — the event-time resolution — makes the two rules
+    identical on micro-timestamped data: t2−t1 < 30min+1µs ⟺
+    t2−t1 ≤ 30min ⟺ NOT(t2−t1 > 30min).
+
+    Emits one row per closed session (user_id, start, end, n_events);
+    the events-per-session histogram is a trivially cheap downstream
+    rollup over CLOSED sessions (``rollup_session_histogram`` — in
+    production a foreachBatch/batch step), so the unbounded-state work
+    all happens here, keyed by (user, session) and bounded by the
+    watermark horizon.
+    """
+    gap = f"{gap_minutes} minutes 1 microsecond"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def rollup_session_histogram(sessions: DataFrame) -> DataFrame:
+    """Histogram rollup over closed sessions emitted by
+    ``session_length_stream`` — identical shape to the batch
+    ``session_length_histogram`` output (len capped at 10)."""
+    return sessions.groupBy(
+        F.least(F.col("n_events"), F.lit(10))
+        .cast("int")
+        .alias("session_len_capped")
+    ).agg(F.count("*").alias("n_sessions"))
+
+
+LATE_STATS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_late", T.LongType()),
+    T.StructField("max_late_seconds", T.LongType()),
+])
+
+_HIGH_WATER_STATE_SCHEMA = T.StructType([
+    T.StructField("hw_us", T.LongType()),
+])
+
+
+def late_events_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``out_of_order_stats`` lateness
+    audit (plans/extras12.py): per-user event-time high-water mark kept
+    in the state store; every event whose timestamp falls behind its
+    user's high water is late by (hw − ts) seconds — exactly the
+    statistic that sizes a watermark.
+
+    The batch query defines arrival order as ascending ``event_id``;
+    the stateful function sorts each micro-batch by event_id and the
+    state carries the high water across batches, so as long as
+    micro-batches arrive in event_id-range order (the file-source test
+    stages them that way; a Kafka source would carry arrival order
+    natively) stream ≡ batch holds exactly. Emits PARTIAL rows — one
+    per (user, event_type) per micro-batch — designed for an additive
+    downstream rollup (``rollup_late_stats``): counts sum, maxes max,
+    so partials compose exactly like map-side combines. State is one
+    long per user: bounded by key cardinality, not stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        hw = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("event_id")
+        ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
+        stats: dict[str, list[int]] = {}
+        etypes = rows["event_type"].tolist()
+        for et, t in zip(etypes, ts_us):
+            s = stats.setdefault(et, [0, 0, 0])  # n, n_late, max_late_s
+            s[0] += 1
+            if hw is not None and t < hw:
+                s[1] += 1
+                late_s = (hw - t) // 1_000_000
+                if late_s > s[2]:
+                    s[2] = late_s
+            if hw is None or t > hw:
+                hw = int(t)
+        state.update((int(hw),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(stats),
+                "event_type": list(stats),
+                "n_events": [v[0] for v in stats.values()],
+                "n_late": [v[1] for v in stats.values()],
+                "max_late_seconds": [v[2] for v in stats.values()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        LATE_STATS_SCHEMA,
+        _HIGH_WATER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def rollup_late_stats(partials: DataFrame) -> DataFrame:
+    """Additive rollup of ``late_events_stream`` partials to the batch
+    ``out_of_order_stats`` grain (per event_type): counts sum, maxes
+    max — 0 stands in for "no late events" exactly as the batch
+    query's COALESCE(…, 0) does."""
+    return partials.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_late").cast("bigint").alias("n_late"),
+        F.max("max_late_seconds").cast("bigint").alias("max_late_seconds"),
+    )
