@@ -86,12 +86,14 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-6 priority (the driver checks the first 50): (1) the two new
-# round-6 registrations (IVF nprobe=2 + its recall gate); (2) ALL 34
-# queries that have never had a driver CORRECTNESS row in rounds 1-5
+# Round-6 priority (the driver checks the first 50): (1) the eight new
+# round-6 registrations (IVF nprobe=2 + its recall gate, the bloom
+# runtime-filter build + FPR audit, Spearman, Brier calibration,
+# Cohen's kappa, importance-weight ESS); (2) ALL 34 queries that have
+# never had a driver CORRECTNESS row in rounds 1-5
 # (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
 # the 22/22 sweep is closed by the hard signal), which closes
-# cumulative driver coverage to 249/249; (3) the remaining 14 slots go
+# cumulative driver coverage to 255/255; (3) the remaining 8 slots go
 # to the stalest green rows — queries last driver-checked in round 1.
 # Everything later in the dict has a green row from rounds 1-5
 # (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
@@ -101,6 +103,12 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 6
     "embedding_ivf2_topk",
     "ann_recall_ivf2_at_3",
+    "bloom_filter_words",
+    "bloom_semi_join_fpr",
+    "spearman_price_qty",
+    "brier_calibration_bins",
+    "cohens_kappa_quality",
+    "importance_weight_ess",
     # never driver-checked (34): TPC-H twins first
     "forecast_revenue_change",
     "late_shipment_priority",
@@ -138,7 +146,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lateral_topn_surface",
     "range_interval_frame",
     "kaplan_meier_survival",
-    # stalest green rows (last checked round 1) — 14 slots
+    # stalest green rows (last checked round 1) — remaining 8 slots
     "anti_join_no_orders",
     "bpe_token_count",
     "conditional_agg",
@@ -147,12 +155,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "date_parse_multi",
     "dedup_exact",
     "dedup_exact_normalized",
-    "dedup_first_wins",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "embedding_topk_cosine",
 )
 
 
