@@ -113,6 +113,27 @@ def test_operators_doc_matches_registry():
     )
 
 
+def test_spearman_grain_equals_window_spelling(spark, sf_dir):
+    """The value-grain midrank reconstruction must reproduce the
+    window spelling EXACTLY (midrank = #rows<v + (cnt+1)/2 is an
+    identity, not an approximation) — this equality is what licenses
+    swapping in the grain plan at scale."""
+    from ucl_data_pipeline_spark.plans.extras17 import spearman_price_qty
+    from ucl_data_pipeline_spark.plans.extras18 import (
+        spearman_rank_via_grain,
+    )
+
+    a = {
+        r["flag"]: (r["n"], r["spearman_rho"])
+        for r in spearman_price_qty(spark, sf_dir).collect()
+    }
+    b = {
+        r["flag"]: (r["n"], r["spearman_rho"])
+        for r in spearman_rank_via_grain(spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
 def test_ivf_nprobe2_recall_dominates_nprobe1(spark, sf_dir):
     """Probing a second inverted list can only ADD candidates, so the
     nprobe=2 recall gate must dominate nprobe=1 per-query — the

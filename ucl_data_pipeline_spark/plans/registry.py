@@ -86,15 +86,18 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-6 priority (the driver checks the first 50): (1) the eight new
-# round-6 registrations (IVF nprobe=2 + its recall gate, the bloom
-# runtime-filter build + FPR audit, Spearman, Brier calibration,
-# Cohen's kappa, importance-weight ESS); (2) ALL 34 queries that have
+# Round-6 priority (the driver checks the first 50): (1) the sixteen
+# new round-6 registrations (IVF nprobe=2 + its recall gate, the bloom
+# runtime-filter build + FPR audit, Spearman in both the window and
+# value-grain spellings, Brier calibration, Cohen's kappa,
+# importance-weight ESS, temperature mixture weights, stratified
+# k-fold, Wilcoxon signed-rank, hard-negative mining, winsorized
+# means, dup-span pairs, diff-in-diff); (2) ALL 34 queries that have
 # never had a driver CORRECTNESS row in rounds 1-5
 # (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
 # the 22/22 sweep is closed by the hard signal), which closes
-# cumulative driver coverage to 255/255; (3) the remaining 8 slots go
-# to the stalest green rows — queries last driver-checked in round 1.
+# cumulative driver coverage to 263/263 — 16 + 34 fills the 50-slot
+# prefix exactly, so the stale-refresh tail waits for round 7.
 # Everything later in the dict has a green row from rounds 1-5
 # (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
 # latest check) and stays locally verified by tools/verify_local.py /
@@ -109,6 +112,14 @@ EXPORT_FIRST: tuple[str, ...] = (
     "brier_calibration_bins",
     "cohens_kappa_quality",
     "importance_weight_ess",
+    "spearman_rank_via_grain",
+    "mixture_temperature_weights",
+    "stratified_kfold_assign",
+    "wilcoxon_signed_rank",
+    "hard_negative_mining",
+    "winsorize_prices",
+    "dup_span_pairs",
+    "diff_in_diff_promo",
     # never driver-checked (34): TPC-H twins first
     "forecast_revenue_change",
     "late_shipment_priority",
@@ -146,15 +157,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lateral_topn_surface",
     "range_interval_frame",
     "kaplan_meier_survival",
-    # stalest green rows (last checked round 1) — remaining 8 slots
-    "anti_join_no_orders",
-    "bpe_token_count",
-    "conditional_agg",
-    "count_distinct_agg",
-    "cube_status_priority",
-    "date_parse_multi",
-    "dedup_exact",
-    "dedup_exact_normalized",
 )
 
 
