@@ -293,3 +293,51 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(order_year" in plan
     got_years = {r.order_year for r in scan.select("order_year").distinct().collect()}
     assert got_years == {1996}
+
+
+def test_bloom_fpr_broadcasts_filter_never_shuffles_probes(spark, sf_dir):
+    # The bloom words (≤512 rows) and member set are broadcast; the
+    # probe side joins them without any SortMergeJoin — the shape that
+    # lets the runtime filter ship to a 100 TB fact scan.
+    plan = _plan(spark, sf_dir, "bloom_semi_join_fpr")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_spearman_grain_has_no_raw_row_sort(spark, sf_dir):
+    # The grain spelling's windows run over (flag, value) grain AFTER
+    # a hash-agg — every Sort in the plan must sit above an aggregate,
+    # never directly on the lineitem scan (that raw-row sort is
+    # exactly what the window spelling pays 5.66x for at 10x).
+    df = REGISTRY["spearman_rank_via_grain"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Sort ")[1:]:
+        # each sort's subtree (the remainder string) must contain an
+        # upstream HashAggregate before the parquet scan appears
+        assert "HashAggregate" in frag.split("Scan parquet")[0], (
+            "Sort directly over the raw scan in grain spearman"
+        )
+
+
+def test_ivf2_codebook_and_probe_broadcast(spark, sf_dir):
+    # nprobe=2 keeps the nprobe=1 shape: centroid codebook and probe
+    # assignments broadcast; candidates join on the list id.
+    plan = _plan(spark, sf_dir, "embedding_ivf2_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_pairs_never_cartesian(spark, sf_dir):
+    # Pair generation must go through the span-key equi-join (bounded
+    # by the df cap), never a cross product.
+    plan = _plan(spark, sf_dir, "dup_span_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_fold_is_scalar_no_extra_shuffle(spark, sf_dir):
+    # The order-pinned fold reduces per-source terms inside one
+    # aggregate: the plan has the per-source hash-agg plus a scalar
+    # agg, and the final weight projection joins ONE broadcast row.
+    plan = _plan(spark, sf_dir, "mixture_temperature_weights")
+    assert "SortMergeJoin" not in plan

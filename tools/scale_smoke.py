@@ -74,6 +74,16 @@ HEAVY = [
 if os.environ.get("SMOKE_QUERIES"):
     HEAVY = os.environ["SMOKE_QUERIES"].split(",")
 
+# SMOKE_TABLES limits which tables are materialized at COPIES× — for
+# high-copy runs (SCALE_COPIES=100) where replicating the text-heavy
+# documents table would dominate wall-clock even though the queries
+# under test never read it. Unlisted tables are staged at 1× so any
+# accidental read still works (and is obviously unscaled).
+if os.environ.get("SMOKE_TABLES"):
+    _only = set(os.environ["SMOKE_TABLES"].split(","))
+else:
+    _only = set(TABLES)
+
 
 def main() -> None:
     spark = get_spark("scale-smoke")
@@ -82,6 +92,8 @@ def main() -> None:
     try:
         for name, keys in TABLES.items():
             src = read_table(spark, SRC, name)
+            if name not in _only:
+                keys = []  # stage at 1× (dims / tables not under test)
             if keys:
                 parts = []
                 for c in range(COPIES):
