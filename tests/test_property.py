@@ -270,3 +270,37 @@ def test_haversine_matches_python_model(spark, quads):
         )
         want = 2.0 * 6371.0 * math.asin(min(1.0, math.sqrt(a)))
         assert math.isclose(km, want, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(0, 2**31 - 1), min_size=1, max_size=40, unique=True
+    )
+)
+def test_bloom_filter_never_false_negative(spark, keys):
+    """Structural Bloom guarantee: every inserted key passes its own
+    filter, for ANY key set — a false negative would make the runtime
+    filter drop true join rows, which is silent data loss at scale
+    (false POSITIVES are only wasted work; bloom_semi_join_fpr
+    measures those)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras17 import (
+        _BLOOM_BITS,
+        _bloom_positions,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    p1, p2 = _bloom_positions(F.col("k"))
+    pos = df.select("k", p1.alias("p1"), p2.alias("p2")).toPandas()
+    # Build the word map exactly as _bloom_words_df does.
+    words: dict[int, int] = {}
+    for p in pd.concat([pos["p1"], pos["p2"]]):
+        words[p // 8] = words.get(p // 8, 0) | (1 << (p % 8))
+    assert all(0 <= p < _BLOOM_BITS for p in pd.concat([pos["p1"], pos["p2"]]))
+    for _, row in pos.iterrows():
+        assert words[row.p1 // 8] >> (row.p1 % 8) & 1 == 1
+        assert words[row.p2 // 8] >> (row.p2 % 8) & 1 == 1

@@ -40,6 +40,7 @@ from ucl_data_pipeline_spark.plans import extras16  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras17  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras18  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras19  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras20  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls

@@ -97,12 +97,15 @@ def register(
 # (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
 # the 22/22 sweep is closed by the hard signal), which closes
 # cumulative driver coverage to 263/269 — 16 + 34 fills the 50-slot
-# prefix exactly, so the stale-refresh tail AND the six end-of-round
-# extras19 registrations (zipf_vocab_slope,
+# prefix exactly, so the stale-refresh tail AND the twelve
+# end-of-round extras19/extras20 registrations (zipf_vocab_slope,
 # gini_impurity_feature_split, segment_drift_decomposition,
-# dedup_minhash_pr, ngram_novelty_rate, dictionary_encoding_planner —
-# all verified oracle-exact at sf0.001 + sf0.01 in BOTH ANSI modes
-# this session) roll to the round-7 rotation.
+# dedup_minhash_pr, ngram_novelty_rate, dictionary_encoding_planner,
+# runs_test_daily_revenue, mann_kendall_trend,
+# changepoint_single_split, subsample_mean_ci_hash,
+# histogram_strategy_compare, powerlaw_alpha_user_activity — all
+# verified oracle-exact at sf0.001 + sf0.01 in BOTH ANSI modes this
+# session, extras20 also at sf0.1) roll to the round-7 rotation.
 # Everything later in the dict has a green row from rounds 1-5
 # (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
 # latest check) and stays locally verified by tools/verify_local.py /
