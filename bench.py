@@ -117,7 +117,11 @@ def _flag_and_update_history(norms: dict[str, float], sf: float | None):
     regressions = []
     for name, r in norms.items():
         prior = store.get(name) or []
-        if not reseeded and prior:
+        # Require ≥3 prior samples before flagging: a 1-2 sample
+        # "median" is a single noisy observation and newly-registered
+        # queries would be judged against whatever session they
+        # happened to land in first.
+        if not reseeded and len(prior) >= 3:
             ref = statistics.median(prior)
             if ref > 0 and r > REGRESSION_RATIO * ref:
                 regressions.append(

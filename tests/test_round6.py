@@ -93,6 +93,20 @@ def test_ks_two_sample_drift_one_empty_group_nulls_stats(spark, tmp_path):
     assert row["drifted"] is None
 
 
+def test_export_first_is_valid_driver_prefix():
+    """EXPORT_FIRST is the driver's 50-slot checked prefix: every name
+    must resolve (a typo silently burns a verification slot — the
+    names are strings, nothing else would catch it) and the tuple must
+    not exceed the driver's budget."""
+    from ucl_data_pipeline_spark.plans import REGISTRY
+    from ucl_data_pipeline_spark.plans.registry import EXPORT_FIRST
+
+    missing = [n for n in EXPORT_FIRST if n not in REGISTRY]
+    assert not missing, f"EXPORT_FIRST names not in registry: {missing}"
+    assert len(EXPORT_FIRST) <= 50
+    assert len(set(EXPORT_FIRST)) == len(EXPORT_FIRST)
+
+
 def test_operators_doc_matches_registry():
     """OPERATORS.md went stale twice (said 241 while the registry held
     247): the generated inventory header must always carry the live
