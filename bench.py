@@ -147,19 +147,19 @@ def _confirm_regressions(
 ) -> list[dict]:
     """Re-measure flagged queries once in a FRESH JVM and keep only
     flags that reproduce (recheck norm still > REGRESSION_RATIO × the
-    stored best). Rationale: with 250+ sub-second queries, the
-    run-to-run noise tail alone flags ~5% of the suite at 1.5-2×
-    (measured: 13/263 on back-to-back runs with ZERO plan changes,
-    both before and after calibration — calibration cancels
-    session-level drift but not per-query GC/JIT jitter), and the
-    downward-only best ratchet makes the bar monotonically harder.
-    A real plan regression reproduces on an immediate fresh-JVM
-    re-measure; noise almost never does twice in a row. The recheck
-    also ratchets bests downward like any other sample.
+    median of the runs stored BEFORE the flagged one). Rationale: with
+    250+ sub-second queries, the run-to-run noise tail alone flags ~5%
+    of the suite at 1.5-2× (measured: 13/263 on back-to-back runs with
+    ZERO plan changes — calibration cancels session-level drift but
+    not per-query GC/JIT jitter). A real plan regression reproduces on
+    an immediate fresh-JVM re-measure; noise almost never does twice
+    in a row. The recheck sample is appended to the rolling history
+    like any other observation.
     """
     names = [r["query"] for r in regressions]
     env = dict(os.environ)
     env["BENCH_QUERIES"] = ",".join(names)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -362,11 +362,11 @@ def main() -> None:
     norms: dict[str, float] = {}
     if subset:
         # Child-chunk / explicit-subset mode: measure in THIS process.
+        # (The parent derives norms from calib_sec itself — no norms
+        # are computed here.)
         names = [n.strip() for n in subset.split(",") if n.strip()]
         timings, calib = _run_in_process(names, sf_dir)
         calibs.append(calib)
-        if calib > 0:
-            norms = {n: t / calib for n, t in timings.items()}
     else:
         names = sorted(REGISTRY)  # stable order across rounds
         if chunk > 0:

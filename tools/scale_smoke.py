@@ -81,6 +81,11 @@ if os.environ.get("SMOKE_QUERIES"):
 # accidental read still works (and is obviously unscaled).
 if os.environ.get("SMOKE_TABLES"):
     _only = set(os.environ["SMOKE_TABLES"].split(","))
+    _unknown = _only - set(TABLES)
+    if _unknown:
+        # A typo here would silently stage EVERYTHING at 1× while the
+        # report still claims a COPIES× result — fail loudly instead.
+        sys.exit(f"SMOKE_TABLES names not in TABLES: {sorted(_unknown)}")
 else:
     _only = set(TABLES)
 

@@ -348,7 +348,8 @@ SELECT CAST(na AS BIGINT) AS n_a,
          (CAST(ra AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
          / NULLIF(SQRT(na * 1.0 * nb / 12.0
                 * ((na + nb + 1)
-                   - tie_term * 1.0 / ((na + nb) * (na + nb - 1)))), 0),
+                   - tie_term * 1.0
+                     / NULLIF((na + nb) * (na + nb - 1), 0))), 0),
          6) AS z_score
 FROM stats, ties
 """
@@ -408,11 +409,18 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stats.crossJoin(F.broadcast(ties))
     na, nb, ra = F.col("na"), F.col("nb"), F.col("ra")
+    # The tie-correction divisor is 0 when only one row survives the
+    # priority filter (na+nb=1): ANSI-on Spark would raise
+    # DIVIDE_BY_ZERO there while DuckDB yields NULL — NULLIF on both
+    # sides keeps the engines agreeing (NULL z) on the degenerate
+    # input, matching the sigma=0 guard below.
     sigma = F.sqrt(
         na * 1.0 * nb / 12.0
         * (
             (na + nb + 1)
-            - F.col("tie_term") * 1.0 / ((na + nb) * (na + nb - 1))
+            - F.col("tie_term")
+            * 1.0
+            / F.nullif((na + nb) * (na + nb - 1), F.lit(0))
         )
     )
     return joined.select(
@@ -422,8 +430,9 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("u_a"),
         # sigma is 0 when every sampled value is identical (full tie
-        # correction): DuckDB x/0 diverges from Spark, so both sides
-        # null the degenerate case (NULLIF in the oracle).
+        # correction): an ANSI-on Spark session raises DIVIDE_BY_ZERO
+        # where DuckDB/non-ANSI Spark yield NULL, so both sides null
+        # the degenerate case explicitly (NULLIF in the oracle).
         F.round(
             (ra.cast("double") - na * (na + 1) / 2.0 - na * nb / 2.0)
             / F.nullif(sigma, F.lit(0.0)),

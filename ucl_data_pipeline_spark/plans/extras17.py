@@ -160,8 +160,6 @@ def ann_recall_ivf2_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-wide monotonicity); the gap between the two gates is the
     measured payoff of doubling candidate work.
     """
-    from ucl_data_pipeline_spark.plans.extras17 import embedding_ivf2_topk
-
     return _recall_vs_exact(
         spark, sf_dir, embedding_ivf2_topk(spark, sf_dir)
     )

@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions import text as TX
 from ucl_data_pipeline_spark.plans.llm_ops import (
+    _SQL_BAND_CAND_CTES,
     _SQL_SHINGLES,
     _SQL_TOKS,
-    _sql_minhash,
+    lsh_candidate_pairs,
 )
 from ucl_data_pipeline_spark.plans.registry import register
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -383,22 +384,7 @@ WITH sub AS (
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
   WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= {_PR_JACCARD}
-), sig AS (
-  SELECT doc_id,
-    md5({_sql_minhash(0)} || {_sql_minhash(1)}) AS band_0,
-    md5({_sql_minhash(2)} || {_sql_minhash(3)}) AS band_1,
-    md5({_sql_minhash(4)} || {_sql_minhash(5)}) AS band_2
-  FROM feat
-), bucket AS (
-  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM sig WHERE band_0 IS NOT NULL
-  UNION ALL SELECT doc_id, 1, band_1 FROM sig WHERE band_1 IS NOT NULL
-  UNION ALL SELECT doc_id, 2, band_2 FROM sig WHERE band_2 IS NOT NULL
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bucket a
-  JOIN bucket b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-), joined AS (
+), {_SQL_BAND_CAND_CTES}, joined AS (
   SELECT COALESCE(c.doc_a, t.doc_a) AS doc_a,
          c.doc_a IS NOT NULL AS in_cand,
          t.doc_a IS NOT NULL AS in_truth
@@ -466,34 +452,7 @@ def dedup_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
-    sig = feats.select(
-        "doc_id",
-        F.md5(F.concat(mh[0], mh[1])).alias("band_0"),
-        F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
-        F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
-    )
-    bucket = sig.select(
-        "doc_id",
-        F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
-            "band_idx", "band_key"
-        ),
-    ).filter(F.col("band_key").isNotNull())
-    a = bucket.alias("a")
-    b = bucket.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(feats)
     joined = cand.withColumn("in_cand", F.lit(True)).join(
         truth.withColumn("in_truth", F.lit(True)),
         ["doc_a", "doc_b"],

@@ -218,14 +218,56 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("doc_id", *[f"mh_{s}" for s in range(6)])
 
 
-_MINHASH_LSH_ORACLE = rf"""
-WITH rep AS (
-  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
-), tok AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
-), feat AS (
-  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
-), sig AS (
+def lsh_candidate_pairs(feats: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the engine's 3-band × 2-row
+    MinHash banding over a (doc_id, feats) frame — the ONE place the
+    band parameters live engine-side (oracle twin:
+    ``_SQL_BAND_CAND_CTES``); ``dedup_minhash_lsh`` generates with it
+    and extras19's ``dedup_minhash_pr`` grades exactly the same
+    generator because both call this.
+
+    One pass over sig → (doc_id, band_idx, band_key): posexplode
+    instead of a 3-way union (a union would recompute the whole
+    minhash lineage once per band); candidates come from the
+    (band_idx, band_key) equi-join — never O(n²).
+    """
+    mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
+    sig = feats.select(
+        "doc_id",
+        F.md5(F.concat(mh[0], mh[1])).alias("band_0"),
+        F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
+        F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
+    )
+    bucket = sig.select(
+        "doc_id",
+        F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
+            "band_idx", "band_key"
+        ),
+    ).filter(F.col("band_key").isNotNull())
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# Shared 3-band × 2-row MinHash banding: `sig` + `bucket` + `cand`
+# CTEs over a prior CTE named `feat` (doc_id, feats). Interpolated
+# VERBATIM by every oracle that bands (dedup_minhash_lsh,
+# dedup_connected_components, and the dedup_minhash_pr quality gate in
+# extras19), so the band parameters can never drift between the
+# candidate generator and the gate that grades it.
+_SQL_BAND_CAND_CTES = f"""sig AS (
   SELECT doc_id, feats,
     md5({_sql_minhash(0)} || {_sql_minhash(1)}) AS band_0,
     md5({_sql_minhash(2)} || {_sql_minhash(3)}) AS band_1,
@@ -242,7 +284,16 @@ WITH rep AS (
   FROM bucket a
   JOIN bucket b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
-), verified AS (
+)"""
+
+_MINHASH_LSH_ORACLE = rf"""
+WITH rep AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
+), feat AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
+), {_SQL_BAND_CAND_CTES}, verified AS (
   SELECT
     c.doc_a, c.doc_b,
     CAST(len(list_filter(fa.feats, x -> list_contains(fb.feats, x))) AS DOUBLE)
@@ -268,34 +319,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed buckets, AQE skew-join splits the hot keys.)
     """
     feats = _rep_features(spark, sf_dir).persist()
-    mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
-    sig = feats.select(
-        "doc_id",
-        F.md5(F.concat(mh[0], mh[1])).alias("band_0"),
-        F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
-        F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
-    )
-    # One pass over sig → (doc_id, band_idx, band_key): posexplode
-    # instead of a 3-way union (a union would recompute the whole
-    # minhash lineage once per band).
-    bucket = sig.select(
-        "doc_id",
-        F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
-            "band_idx", "band_key"
-        ),
-    ).filter(F.col("band_key").isNotNull())
-    a = bucket.alias("a")
-    b = bucket.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(feats)
     fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
     fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
     # hash-based O(n+m) intersection — a filter/array_contains lambda
@@ -1158,24 +1182,7 @@ WITH RECURSIVE rep AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
 ), feat AS (
   SELECT doc_id, {_SQL_SHINGLES.format(t='toks')} AS feats FROM tok
-), sig AS (
-  SELECT doc_id, feats,
-    md5({_sql_minhash(0)} || {_sql_minhash(1)}) AS band_0,
-    md5({_sql_minhash(2)} || {_sql_minhash(3)}) AS band_1,
-    md5({_sql_minhash(4)} || {_sql_minhash(5)}) AS band_2
-  FROM feat
-), bucket AS (
-  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM sig WHERE band_0 IS NOT NULL
-  UNION ALL
-  SELECT doc_id, 1, band_1 FROM sig WHERE band_1 IS NOT NULL
-  UNION ALL
-  SELECT doc_id, 2, band_2 FROM sig WHERE band_2 IS NOT NULL
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bucket a
-  JOIN bucket b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-), pairs AS (
+), {_SQL_BAND_CAND_CTES}, pairs AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c
   JOIN feat fa ON c.doc_a = fa.doc_id
