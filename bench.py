@@ -81,6 +81,13 @@ HISTORY_PATH = os.path.join(
 EPOCH = "r6-calibrated-norm-v2"
 REGRESSION_RATIO = 1.5
 HISTORY_DEPTH = 5
+# Absolute-seconds floor (r7): norm ratios are meaningless below the
+# JIT/codegen noise floor — r6 "confirmed" doc_language_mix at 2.01x
+# on a 0.35 s query that re-measured clean in isolation. A query whose
+# raw best is under this floor is never flagged (history still
+# appends, so the rolling median stays honest if it later slows into
+# flaggable territory).
+MIN_FLAG_SECONDS = 0.5
 
 # Queries whose cost is priced separately from the headline mean:
 # "baseline" = deliberately-unoptimized exact reference implementations
@@ -98,16 +105,22 @@ def _load_history() -> dict:
         return {}
 
 
-def _flag_and_update_history(norms: dict[str, float], sf: float | None):
+def _flag_and_update_history(
+    norms: dict[str, float],
+    sf: float | None,
+    raw: dict[str, float] | None = None,
+):
     """Return (regressions, reseeded) and append to the rolling
     history.
 
     `norms` maps query → t_query / t_calib for this run. A query is
     flagged when its current norm exceeds REGRESSION_RATIO × the
-    MEDIAN of its stored last-HISTORY_DEPTH norms; the current norm is
-    then appended (oldest dropped). `reseeded` is True when the stored
-    epoch was absent/foreign and the history was re-initialized from
-    this run (no flags reported — nothing comparable to flag against).
+    MEDIAN of its stored last-HISTORY_DEPTH norms AND its raw best
+    seconds (from `raw`) is at least MIN_FLAG_SECONDS; the current
+    norm is then appended (oldest dropped). `reseeded` is True when
+    the stored epoch was absent/foreign and the history was
+    re-initialized from this run (no flags reported — nothing
+    comparable to flag against).
     """
     hist = _load_history()
     reseeded = hist.get("epoch") != EPOCH or hist.get("sf") != sf
@@ -121,7 +134,8 @@ def _flag_and_update_history(norms: dict[str, float], sf: float | None):
         # "median" is a single noisy observation and newly-registered
         # queries would be judged against whatever session they
         # happened to land in first.
-        if not reseeded and len(prior) >= 3:
+        raw_sec = (raw or {}).get(name, float("inf"))
+        if not reseeded and len(prior) >= 3 and raw_sec >= MIN_FLAG_SECONDS:
             ref = statistics.median(prior)
             if ref > 0 and r > REGRESSION_RATIO * ref:
                 regressions.append(
@@ -196,7 +210,13 @@ def _confirm_regressions(
         ref = statistics.median(base)
         recheck = t / calib
         store[r["query"]] = (prior + [round(recheck, 4)])[-HISTORY_DEPTH:]
-        if ref > 0 and recheck > REGRESSION_RATIO * ref:
+        # Same absolute floor as the initial flag: a sub-half-second
+        # recheck cannot confirm a regression regardless of ratio.
+        if (
+            ref > 0
+            and recheck > REGRESSION_RATIO * ref
+            and t >= MIN_FLAG_SECONDS
+        ):
             confirmed.append({**r, "recheck_norm": round(recheck, 3)})
     try:
         with open(HISTORY_PATH, "w") as f:
@@ -441,7 +461,7 @@ def main() -> None:
             # full runs at other SFs are not comparable and must not
             # touch (let alone reseed) the stored bests.
             regressions, reseeded = _flag_and_update_history(
-                norms, out["sf"]
+                norms, out["sf"], raw=timings
             )
             out["regression_candidates"] = len(regressions)
             if regressions:
@@ -449,6 +469,52 @@ def main() -> None:
             out["regressions"] = regressions
             out["history_reseeded"] = reseeded
     print(json.dumps(out))
+    if not subset:
+        # r7: the driver archives only the LAST ~2 KB of stdout, and
+        # the full per-query "queries"/"tags" maps (~275 entries) grew
+        # past that in r5 — BENCH_r05 and BENCH_r06 both recorded
+        # `"parsed": null` with the headline scalars truncated away.
+        # Emit a second, summary-only JSON line LAST: same metric
+        # contract, "queries" bounded to the slowest 10 (the ones a
+        # reader actually wants in a tail), guaranteed to fit the tail
+        # window whole. The full map is the first line above and is
+        # also persisted to bench_full.json for local history.
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        summary = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "n_queries": out["n_queries"],
+            "mean_query_sec": out["mean_query_sec"],
+            "mean_query_sec_headline": out["mean_query_sec_headline"],
+            "protocol": out["protocol"],
+            "queries": {n: round(t, 3) for n, t in slowest.items()},
+            "queries_truncated_to_slowest": len(slowest),
+            "queries_full": "bench_full.json",
+        }
+        for k in (
+            "calib_sec_median",
+            "regression_candidates",
+            "regressions",
+            "history_reseeded",
+        ):
+            if k in out:
+                summary[k] = out[k]
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_full.json",
+                ),
+                "w",
+            ) as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

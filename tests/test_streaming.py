@@ -341,3 +341,79 @@ def test_late_events_stream_state_across_ordered_batches(
     got = rollup_late_stats(partials)
     want = out_of_order_stats(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, sf_dir, tmp_path_factory):
+    # Stage orders as a TWO-file parquet directory so
+    # maxFilesPerTrigger=1 yields genuine multi-micro-batch runs for
+    # the day-grain drift-monitor streams.
+    d = tmp_path_factory.mktemp("orders_stream")
+    read_table(spark, sf_dir, "orders").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def test_cusum_stream_equals_batch(spark, sf_dir, orders_dir, tmp_path):
+    # The streaming day-grain pre-agg + shared day-grain CUSUM math
+    # must reproduce the driver-oracle-checked batch query exactly.
+    # complete mode: at AvailableNow end-of-input the newest days are
+    # still inside the watermark horizon and append would hold them.
+    from ucl_data_pipeline_spark.plans.extras5 import cusum_drift_daily
+    from ucl_data_pipeline_spark.streaming import (
+        daily_revenue_stream,
+        read_orders_stream,
+        rollup_cusum,
+    )
+
+    stream = daily_revenue_stream(read_orders_stream(spark, orders_dir))
+    daily = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = rollup_cusum(daily)
+    want = cusum_drift_daily(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_changepoint_stream_equals_batch(spark, sf_dir, orders_dir, tmp_path):
+    from ucl_data_pipeline_spark.plans.extras20 import changepoint_single_split
+    from ucl_data_pipeline_spark.streaming import (
+        daily_revenue_stream,
+        read_orders_stream,
+        rollup_changepoint,
+    )
+
+    stream = daily_revenue_stream(read_orders_stream(spark, orders_dir))
+    daily = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = rollup_changepoint(daily)
+    want = changepoint_single_split(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)
+
+
+def test_daily_revenue_stream_multi_batch_state(spark, sf_dir, orders_dir, tmp_path):
+    # TWO micro-batches (maxFilesPerTrigger=1): a day whose orders
+    # straddle both files must still aggregate to ONE exact row via the
+    # window state store — the incremental path a daily-ingest pipeline
+    # actually runs.
+    from ucl_data_pipeline_spark.plans.extras5 import cusum_drift_daily
+    from ucl_data_pipeline_spark.streaming import (
+        daily_revenue_stream,
+        read_orders_stream,
+        rollup_cusum,
+    )
+
+    stream = daily_revenue_stream(
+        read_orders_stream(spark, orders_dir, max_files_per_trigger=1)
+    )
+    daily = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    # day grain must be exact: no duplicate day rows out of complete mode
+    days = [r["day"] for r in daily.select("day").collect()]
+    assert len(days) == len(set(days))
+    got = rollup_cusum(daily)
+    want = cusum_drift_daily(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)

@@ -29,20 +29,45 @@ def distinct_tokens(text: ColumnOrName) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def _let(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and bind it as a lambda variable
+    for ``body`` — a let-binding spelled as ``transform(array(e),
+    v -> body(v))[0]``.
+
+    Why this exists: Catalyst has no common-subexpression elimination
+    across references *inside higher-order-function lambdas*. An
+    expression like ``shingles(tokens(text))`` that mentions its input
+    five times — twice in ``size`` and three times per element inside
+    the transform lambda — re-evaluates the regex ``split`` once per
+    OUTPUT ELEMENT, turning an O(len) tokenize into O(len × shingles):
+    measured 10.0 s → 0.3 s (≈30×) for the corpus shingle scan at
+    sf0.1 on local[32]. Binding the input as a lambda variable makes
+    every inner reference an O(1) variable read. The wrapper array is
+    one pointer per row — noise.
+    """
+    return F.transform(F.array(expr), body)[0]
+
+
 def shingles(toks: ColumnOrName, k: int = 3) -> Column:
     """k-gram shingles (space-joined runs of k consecutive tokens).
 
     Shorter-than-k docs yield an empty array (guard needed: Spark's
-    ``sequence(0, n)`` with n<0 counts DOWN, producing garbage indices).
+    ``sequence(0, n)`` with n<0 counts DOWN, producing garbage
+    indices). The token array is let-bound via :func:`_let` so callers
+    can pass a raw ``tokens(text)`` expression without the per-element
+    re-evaluation trap described there.
     """
-    t = _col(toks)
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j + 1) for j in range(k)]
-    )
-    return F.when(F.size(t) >= k, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+        )
+        return F.when(F.size(t) >= k, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(_col(toks), body)
 
 
 def token_count(text: ColumnOrName) -> Column:

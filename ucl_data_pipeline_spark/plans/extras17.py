@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions import vector as VX
 from ucl_data_pipeline_spark.plans.extras4 import (
+    _EXACT3_SQL,
     _recall_oracle,
     _recall_vs_exact,
 )
+from ucl_data_pipeline_spark.plans.llm_ops import _TOPK_MAX_QUERIES
 from ucl_data_pipeline_spark.plans.registry import register
 from ucl_data_pipeline_spark.sources.io import read_table
 
@@ -71,6 +73,30 @@ QUALIFY row_number() OVER (
 """
 
 
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Per-label coarse-quantizer centroids (label, cvec) with
+    exact-decimal component means — shared by the nprobe=2 index and
+    the recall frontier so the codebook can never drift between the
+    index and its measurement."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("centroid_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cvec")
+        )
+    )
+
+
 @register("embedding_ivf2_topk", oracle=_IVF2_ORACLE, tags=("vector", "llm"))
 def embedding_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: each query probes its TWO nearest
@@ -92,23 +118,7 @@ def embedding_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", VX.as_double("embedding").alias("embedding")
     )
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                / F.count("*")
-            ).alias("centroid_val")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
-                lambda s: s["centroid_val"],
-            ).alias("cvec")
-        )
-    )
+    cent = _ivf_centroids(e)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -162,6 +172,202 @@ def ann_recall_ivf2_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _recall_vs_exact(
         spark, sf_dir, embedding_ivf2_topk(spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall/latency frontier: recall@3 and candidate work per nprobe
+# ---------------------------------------------------------------------------
+
+_FRONTIER_NPROBES = (1, 2, 3)
+_QUERY_ID_CEIL = 100 * _TOPK_MAX_QUERIES
+
+_CENT_SQL = """
+  SELECT label,
+         list(centroid_val ORDER BY pos) AS cvec
+  FROM (
+    SELECT e.label, i AS pos,
+           CAST(SUM(CAST(e.embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS centroid_val
+    FROM e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+    GROUP BY e.label, i
+  )
+  GROUP BY label
+"""
+
+_FRONTIER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+cent AS ({_CENT_SQL}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM e
+  WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CEIL}
+),
+ranked AS (
+  SELECT q.query_id, q.q_emb, c.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.q_emb, c.cvec)
+                      / nullif(sqrt(list_dot_product(q.q_emb, q.q_emb))
+                               * sqrt(list_dot_product(c.cvec, c.cvec)), 0.0)
+                    DESC,
+                    c.label
+         ) AS rn
+  FROM q CROSS JOIN cent c
+),
+np AS (SELECT unnest([{', '.join(str(n) for n in _FRONTIER_NPROBES)}]) AS nprobe),
+probe AS (
+  SELECT np.nprobe, r.query_id, r.q_emb, r.label
+  FROM ranked r CROSS JOIN np WHERE r.rn <= np.nprobe
+),
+cand AS (
+  SELECT p.nprobe, p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.q_emb, c.embedding)
+           / nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))
+                    * sqrt(list_dot_product(c.embedding, c.embedding)), 0.0)
+           AS cos_sim
+  FROM probe p
+  JOIN e c ON c.label = p.label AND c.vec_id <> p.query_id
+),
+ncand AS (
+  SELECT nprobe, query_id, COUNT(*) AS n_cand FROM cand GROUP BY 1, 2
+),
+top3 AS (
+  SELECT nprobe, query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY nprobe, query_id ORDER BY cos_sim DESC, neighbor_id) <= 3
+),
+exact3 AS ({_EXACT3_SQL}),
+hits AS (
+  SELECT np.nprobe, e3.query_id, COUNT(t.neighbor_id) AS n_hits
+  FROM exact3 e3
+  CROSS JOIN np
+  LEFT JOIN top3 t
+    ON t.nprobe = np.nprobe AND t.query_id = e3.query_id
+   AND t.neighbor_id = e3.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT CAST(h.nprobe AS INTEGER) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(COALESCE(nc.n_cand, 0)) AS BIGINT) AS n_candidates,
+       ROUND(SUM(h.n_hits) / (3.0 * COUNT(*)), 6) AS mean_recall_at_3
+FROM hits h
+LEFT JOIN ncand nc ON nc.nprobe = h.nprobe AND nc.query_id = h.query_id
+GROUP BY h.nprobe
+"""
+
+
+@register(
+    "ann_recall_frontier",
+    oracle=_FRONTIER_ORACLE,
+    tags=("vector", "llm", "agg", "gate"),
+)
+def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/latency frontier as a driver-verifiable artifact:
+    one row per nprobe ∈ {1, 2, 3} with the mean recall@3 over the
+    graded query sample and the TOTAL candidate vectors scored — the
+    exact tradeoff curve a production index tunes (recall is monotone
+    non-decreasing in nprobe because probing another list only ADDS
+    candidates; candidate work grows ≈linearly in nprobe but stays
+    sub-linear in corpus size: nprobe/k of the vectors per query).
+
+    One centroid build (shared helper `_ivf_centroids` — the same
+    codebook as ``embedding_ivf2_topk``), one ranked probe pass up to
+    max(nprobe), then the per-nprobe variants are FILTERS of that one
+    ranking — the whole curve costs one scan more than the single
+    widest index, never |nprobes| independent builds. The candidate
+    join is label-equi (partition-pruned at scale) against the
+    broadcast probe set; the exact baseline is the registry's bounded
+    brute-force top-3, so this gate composes the same pieces the
+    driver already checks.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VX.as_double("embedding").alias("embedding")
+    )
+    cent = _ivf_centroids(e)
+    q = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CEIL)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        VX.cosine("q_emb", "cvec").desc(), F.col("label")
+    )
+    max_np = max(_FRONTIER_NPROBES)
+    ranked = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= max_np)
+        .select("query_id", "q_emb", "label", "rn")
+    )
+    nps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _FRONTIER_NPROBES])
+        ).alias("nprobe")
+    )
+    probe = ranked.crossJoin(F.broadcast(nps)).filter(
+        F.col("rn") <= F.col("nprobe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cand = c.join(
+        F.broadcast(probe),
+        (F.col("c_label") == F.col("label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "nprobe",
+        "query_id",
+        "neighbor_id",
+        VX.cosine("q_emb", "c_emb").alias("cos_sim"),
+    )
+    ncand = cand.groupBy("nprobe", "query_id").agg(
+        F.count("*").alias("n_cand")
+    )
+    top3_w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top3 = (
+        cand.withColumn("rn3", F.row_number().over(top3_w))
+        .filter(F.col("rn3") <= 3)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    from ucl_data_pipeline_spark.plans.llm_ops import embedding_topk_cosine
+
+    exact_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact3 = (
+        embedding_topk_cosine(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact3.crossJoin(F.broadcast(nps))
+        .join(top3, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return (
+        hits.join(ncand, ["nprobe", "query_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("n_cand"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.round(F.sum("n_hits") / (3.0 * F.count("*")), 6).alias(
+                "mean_recall_at_3"
+            ),
+        )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries",
+            "n_candidates",
+            "mean_recall_at_3",
+        )
     )
 
 

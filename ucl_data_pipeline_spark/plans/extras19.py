@@ -511,13 +511,27 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at dedup time. Shape: scan-side shingling, one shingle-DF
     hash-agg, one join back, one per-doc agg — the same
     two-shuffle-regardless-of-dup-rate profile as dup_span_fraction,
-    no pairwise stage; at 100 TB shingles become xxhash64 digests.
+    no pairwise stage. Both shuffles (the distinct and the DF
+    hash-agg + join-back) are keyed on the 64-bit xxhash64 digest of
+    the shingle, computed scan-side BEFORE the explode's output ever
+    hits a shuffle — a raw 3-gram string averages ~20-30 bytes vs 8
+    for the digest, so digest keys cut shuffle bytes ~3-5× and make
+    the sort/agg comparisons fixed-width. The digest only renames the
+    grouping key (the output is per-doc counts, never the shingles
+    themselves), so results differ from the string spelling only on a
+    64-bit collision — probability ~n²/2⁶⁵, negligible at any SF the
+    oracle runs at; the DuckDB oracle keeps raw strings on the bounded
+    fixture, which is exactly the collision check.
     """
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    gram = d.select(
-        "doc_id",
-        F.explode(TX.shingles(TX.tokens("text"))).alias("g"),
-    ).distinct()
+    gram = (
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.tokens("text"))).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("g"))
+        .distinct()
+    )
     df = gram.groupBy("g").agg(F.count("*").alias("gdf"))
     return (
         gram.join(df, "g")

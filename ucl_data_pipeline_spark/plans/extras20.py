@@ -233,28 +233,14 @@ FROM best
 """
 
 
-@register(
-    "changepoint_single_split",
-    oracle=_CHANGEPOINT_ORACLE,
-    tags=("stats", "temporal"),
-)
-def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single change-point detector (the first step of binary
-    segmentation): the split of the daily-revenue series that
-    minimizes total within-segment SSE, with the variance reduction it
-    buys — the standard level-shift detector for metric monitoring.
-    Every candidate split is scored from PREFIX SUMS of v and v² over
-    the day grain (one cumulative window; per-candidate SSE is O(1)
-    from the sufficient statistics, so all ≈2.4k candidates cost one
-    pass — never a per-candidate re-scan). v and v² accumulate as
-    EXACT decimals (v is a decimal(18,6) daily sum; v·v is exact at
-    scale 12) and only the final SSE arithmetic runs in doubles; the
-    argmin orders by (sse, date) so the winner is deterministic.
+def changepoint_over_daily(daily: DataFrame) -> DataFrame:
+    """Day-grain single-changepoint math shared by the batch query and
+    the streaming rollup (streaming/windows.py ``rollup_changepoint``):
+    input is (d, v) with ``v`` an exact DECIMAL daily sum; output is
+    the one best-split row. ONE implementation so the stream≡batch
+    parity test pins the streaming twin against exactly the arithmetic
+    the driver oracle-checks.
     """
-    o = read_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("v")
-    )
     w_cum = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -307,6 +293,35 @@ def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_reduction"),
     )
+
+
+@register(
+    "changepoint_single_split",
+    oracle=_CHANGEPOINT_ORACLE,
+    tags=("stats", "temporal"),
+)
+def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detector (the first step of binary
+    segmentation): the split of the daily-revenue series that
+    minimizes total within-segment SSE, with the variance reduction it
+    buys — the standard level-shift detector for metric monitoring.
+    Every candidate split is scored from PREFIX SUMS of v and v² over
+    the day grain (one cumulative window; per-candidate SSE is O(1)
+    from the sufficient statistics, so all ≈2.4k candidates cost one
+    pass — never a per-candidate re-scan). v and v² accumulate as
+    EXACT decimals (v is a decimal(18,6) daily sum; v·v is exact at
+    scale 12) and only the final SSE arithmetic runs in doubles; the
+    argmin orders by (sse, date) so the winner is deterministic.
+
+    The day-grain scoring lives in :func:`changepoint_over_daily`,
+    shared with the incremental streaming twin (streaming/windows.py
+    ``daily_revenue_stream`` + ``rollup_changepoint``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("v")
+    )
+    return changepoint_over_daily(daily)
 
 
 # ---------------------------------------------------------------------------

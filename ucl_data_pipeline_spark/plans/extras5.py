@@ -550,25 +550,15 @@ FROM daily
 """
 
 
-@register("cusum_drift_daily", oracle=_CUSUM_ORACLE, tags=("temporal", "stats"))
-def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM drift statistic over daily revenue: running Σ(xᵢ − μ) —
-    the classic change-point / regime-shift detector (a sustained
-    level shift makes the cusum ramp; the max-|cusum| day estimates the
-    break). The same statistic a data pipeline runs over daily ingest
-    volumes or quality scores to catch silent upstream changes.
-
-    Determinism: per-day revenue and its running sum stay in exact
-    DECIMAL; μ is one double; cusum = exact_double − i·μ is identical
-    arithmetic both sides, ROUND 6.
-
-    Scale: the fact-sized stage is the per-day hash-agg; everything
-    after runs on one row per day (bounded window, broadcast scalar μ).
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """Day-grain CUSUM math shared by the batch query and the
+    streaming rollup (streaming/windows.py ``rollup_cusum``): input is
+    (day, rev) with ``rev`` an exact DECIMAL daily sum; output is
+    (day, revenue, cusum). ONE implementation so the stream≡batch
+    parity test pins the streaming twin against exactly the arithmetic
+    the driver oracle-checks — same discipline as the shared LSH
+    candidate generator (llm_ops.lsh_candidate_pairs).
     """
-    o = read_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-    )
     mu = daily.agg(
         (F.sum("rev").cast("double") / F.count("*")).alias("mu")
     )
@@ -590,6 +580,31 @@ def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum"),
         )
     )
+
+
+@register("cusum_drift_daily", oracle=_CUSUM_ORACLE, tags=("temporal", "stats"))
+def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic over daily revenue: running Σ(xᵢ − μ) —
+    the classic change-point / regime-shift detector (a sustained
+    level shift makes the cusum ramp; the max-|cusum| day estimates the
+    break). The same statistic a data pipeline runs over daily ingest
+    volumes or quality scores to catch silent upstream changes.
+
+    Determinism: per-day revenue and its running sum stay in exact
+    DECIMAL; μ is one double; cusum = exact_double − i·μ is identical
+    arithmetic both sides, ROUND 6.
+
+    Scale: the fact-sized stage is the per-day hash-agg; everything
+    after runs on one row per day (bounded window, broadcast scalar μ).
+    The day-grain math lives in :func:`cusum_over_daily`, shared with
+    the incremental streaming twin (streaming/windows.py
+    ``daily_revenue_stream`` + ``rollup_cusum``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    return cusum_over_daily(daily)
 
 
 # ---------------------------------------------------------------------------

@@ -86,85 +86,81 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-6 priority (the driver checks the first 50): (1) the sixteen
-# new round-6 registrations (IVF nprobe=2 + its recall gate, the bloom
-# runtime-filter build + FPR audit, Spearman in both the window and
-# value-grain spellings, Brier calibration, Cohen's kappa,
-# importance-weight ESS, temperature mixture weights, stratified
-# k-fold, Wilcoxon signed-rank, hard-negative mining, winsorized
-# means, dup-span pairs, diff-in-diff); (2) ALL 34 queries that have
-# never had a driver CORRECTNESS row in rounds 1-5
-# (= REGISTRY − ∪CORRECTNESS_r1..r5; the TPC-H Q6/Q12 twins lead so
-# the 22/22 sweep is closed by the hard signal), which closes
-# cumulative driver coverage to 263/269 — 16 + 34 fills the 50-slot
-# prefix exactly, so the stale-refresh tail AND the twelve
-# end-of-round extras19/extras20 registrations (zipf_vocab_slope,
-# gini_impurity_feature_split, segment_drift_decomposition,
-# dedup_minhash_pr, ngram_novelty_rate, dictionary_encoding_planner,
-# runs_test_daily_revenue, mann_kendall_trend,
-# changepoint_single_split, subsample_mean_ci_hash,
+# Round-7 priority (the driver checks the first 50): (1) queries
+# registered NEW this round (ann_recall_frontier — the recall-vs-nprobe
+# curve); (2) the twelve end-of-round-6
+# extras19/extras20 registrations that have never had a driver
+# CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
+# segment_drift_decomposition, dedup_minhash_pr, ngram_novelty_rate,
+# dictionary_encoding_planner, runs_test_daily_revenue,
+# mann_kendall_trend, changepoint_single_split, subsample_mean_ci_hash,
 # histogram_strategy_compare, powerlaw_alpha_user_activity — all
-# verified oracle-exact at sf0.001 + sf0.01 in BOTH ANSI modes this
-# session, extras20 also at sf0.1) roll to the round-7 rotation.
-# Everything later in the dict has a green row from rounds 1-5
-# (cumulative: 213/247 pre-round-6 queries checked, 212 exact on
-# latest check) and stays locally verified by tools/verify_local.py /
-# the parametrized pytest oracle suite.
+# re-verified oracle-exact locally; a green row for these closes
+# cumulative driver coverage to 275/275); (3) the stalest green rows —
+# the round-1/round-2-vintage queries whose only driver evidence is
+# five rounds old, refreshed so no green row ages past ~5 rounds.
+# ngram_novelty_rate and dedup_minhash_pr additionally changed this
+# round (shingle shuffle re-keyed to xxhash64 digests), so their
+# placement doubles as the regression check for that rewrite.
+# Everything later in the dict has a green row from rounds 1-6
+# (cumulative 263/275 pre-round-7, 262 exact on latest check) and
+# stays locally verified by tools/verify_local.py / the parametrized
+# pytest oracle suite.
 EXPORT_FIRST: tuple[str, ...] = (
-    # new in round 6
-    "embedding_ivf2_topk",
-    "ann_recall_ivf2_at_3",
-    "bloom_filter_words",
-    "bloom_semi_join_fpr",
-    "spearman_price_qty",
-    "brier_calibration_bins",
-    "cohens_kappa_quality",
-    "importance_weight_ess",
-    "spearman_rank_via_grain",
-    "mixture_temperature_weights",
-    "stratified_kfold_assign",
-    "wilcoxon_signed_rank",
-    "hard_negative_mining",
-    "winsorize_prices",
-    "dup_span_pairs",
-    "diff_in_diff_promo",
-    # never driver-checked (34): TPC-H twins first
-    "forecast_revenue_change",
-    "late_shipment_priority",
-    # never driver-checked: round-6-touched degenerate-input fixes
-    "dup_span_fraction",
-    "mann_whitney_u",
-    "ks_two_sample_drift",
-    # never driver-checked: remainder of the round-5 extras batches
-    "cumulative_distinct_users",
-    "gini_revenue_concentration",
-    "welch_ttest_promo",
-    "weighted_sample_ares",
-    "neighbor_jaccard_nodes",
-    "rolling_median_frame",
-    "ohlc_resample_hourly",
-    "cusum_drift_daily",
-    "autocorr_daily_revenue",
-    "benford_first_digit",
-    "minhash_jaccard_error",
-    "doc_bigram_likelihood",
-    "quantile_normalize_feature",
-    "interval_union_coverage",
-    "weekly_revenue_growth",
-    "conversion_wilson_ci",
-    "langid_confusion_f1",
-    "readability_scores",
-    "null_safe_join_surface",
-    "not_in_null_semantics",
-    "skew_key_profile",
-    "argmax_surface",
-    "bayesian_smoothed_rating",
-    "l_diversity_check",
-    "doc_dedup_rate_by_source",
-    "token_budget_histogram",
-    "lateral_topn_surface",
-    "range_interval_frame",
-    "kaplan_meier_survival",
+    # new in round 7
+    "ann_recall_frontier",
+    # never driver-checked (12): closes the registry to 275/275
+    "zipf_vocab_slope",
+    "gini_impurity_feature_split",
+    "segment_drift_decomposition",
+    "dedup_minhash_pr",
+    "ngram_novelty_rate",
+    "dictionary_encoding_planner",
+    "runs_test_daily_revenue",
+    "mann_kendall_trend",
+    "changepoint_single_split",
+    "subsample_mean_ci_hash",
+    "histogram_strategy_compare",
+    "powerlaw_alpha_user_activity",
+    # stalest green rows: round-1 vintage, unrefreshed since r1
+    "anti_join_no_orders",
+    "dedup_first_wins",
+    "sort_limit_topn",
+    "window_top2_per_key",
+    "union_all_entities",
+    "intersect_nations",
+    "except_nations",
+    "haversine_travel",
+    "name_regex_strip",
+    "date_parse_multi",
+    "hybrid_two_seasons",
+    "group_agg_basic",
+    "count_distinct_agg",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "grouping_sets_status_priority",
+    "rest_days_lag",
+    "moving_avg_frame",
+    "rank_customers_by_balance",
+    "lead_and_share_of_total",
+    "conditional_agg",
+    "zscore_by_group",
+    "rank_function_surface",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "bpe_token_count",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "embedding_topk_cosine",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "label_centroids",
+    # round-2 vintage
+    "fractional_odds",
 )
 
 

@@ -1,11 +1,15 @@
 """Structured Streaming operators (SURVEY.md §2.9)."""
 
 from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    daily_revenue_stream,
     dedup_within_watermark,
     interval_join_stream,
     late_events_stream,
     ohlc_stream,
     read_events_stream,
+    read_orders_stream,
+    rollup_changepoint,
+    rollup_cusum,
     rollup_late_stats,
     rollup_session_histogram,
     run_available_now,

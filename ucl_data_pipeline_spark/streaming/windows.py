@@ -433,6 +433,84 @@ def late_events_stream(events: DataFrame) -> DataFrame:
     )
 
 
+ORDERS_STREAM_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType()),
+    T.StructField("o_custkey", T.LongType()),
+    T.StructField("o_orderstatus", T.StringType()),
+    T.StructField("o_totalprice", T.DoubleType()),
+    T.StructField("o_orderdate", T.TimestampType()),
+    T.StructField("o_orderpriority", T.StringType()),
+])
+
+
+def read_orders_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of orders (micro-batched parquet directory).
+    Only the columns the drift monitors need are declared — the file
+    source prunes the rest at scan time."""
+    reader = spark.readStream.schema(ORDERS_STREAM_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def daily_revenue_stream(
+    orders: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of the fact-sized stage both batch drift
+    detectors share (`cusum_drift_daily`, `changepoint_single_split`):
+    the per-day revenue pre-aggregation, as a tumbling 1-day windowed
+    agg with a watermark. This is the ONLY stage that touches fact
+    rows — at 100 TB it is the whole cost, and here it runs
+    incrementally with map-side combine and state bounded by the
+    watermark horizon (days in flight, not days ever seen).
+
+    Emits (day, rev) with ``rev`` an exact decimal sum at scale 6 —
+    sums of 2-decimal prices are exact at any scale ≥ 2, so the
+    decimal(18,2)-summed batch spelling and this one produce the same
+    values and the shared day-grain rollups (`rollup_cusum`,
+    `rollup_changepoint`) see identical input either way.
+    """
+    return (
+        orders.withWatermark("o_orderdate", watermark)
+        .groupBy(F.window("o_orderdate", "1 day").alias("w"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "rev")
+    )
+
+
+def rollup_cusum(daily: DataFrame) -> DataFrame:
+    """CUSUM over the closed (day, rev) rows emitted by
+    ``daily_revenue_stream`` — delegates to the SAME day-grain math
+    the driver-oracle-checked batch query uses
+    (plans/extras5.cusum_over_daily), so stream ≡ batch by
+    construction once the day grain matches. In production this is the
+    foreachBatch / downstream-batch step over the day-grain sink: the
+    global mean μ makes the statistic non-incremental by definition,
+    but the input is one row per day — trivial at any SF."""
+    from ucl_data_pipeline_spark.plans.extras5 import cusum_over_daily
+
+    return cusum_over_daily(daily)
+
+
+def rollup_changepoint(daily: DataFrame) -> DataFrame:
+    """Best single split over the closed (day, rev) rows emitted by
+    ``daily_revenue_stream`` — delegates to the SAME day-grain
+    prefix-sum SSE scoring as the batch query
+    (plans/extras20.changepoint_over_daily). Day-grain input, so the
+    quadratic-free scoring runs on ≈2.4k rows regardless of SF."""
+    from ucl_data_pipeline_spark.plans.extras20 import changepoint_over_daily
+
+    return changepoint_over_daily(
+        daily.select(F.col("day").alias("d"), F.col("rev").alias("v"))
+    )
+
+
 def rollup_late_stats(partials: DataFrame) -> DataFrame:
     """Additive rollup of ``late_events_stream`` partials to the batch
     ``out_of_order_stats`` grain (per event_type): counts sum, maxes
