@@ -341,3 +341,43 @@ def test_mixture_fold_is_scalar_no_extra_shuffle(spark, sf_dir):
     # agg, and the final weight projection joins ONE broadcast row.
     plan = _plan(spark, sf_dir, "mixture_temperature_weights")
     assert "SortMergeJoin" not in plan
+
+
+def test_no_expensive_expr_inside_lambdas(spark, sf_dir):
+    # Catalyst has no CSE across higher-order-function lambda
+    # boundaries: an outer expression referenced inside a transform/
+    # filter/aggregate lambda is re-evaluated once per ELEMENT.
+    # For a tokenizer that turns O(len) into O(len × elements) — the
+    # round-7 shingles bug cost 20-30× on every shingle scan until
+    # functions/text.py _let let-bound the input. This gate scans every
+    # registered query's optimized plan for regex/tokenize calls inside
+    # a lambda body (a let-bound input appears as a cheap lambda-var
+    # reference instead, and the one legitimate split sits OUTSIDE in
+    # the wrapper array).
+    import re
+
+    expensive = re.compile(
+        r"split\(|regexp_extract_all\(|regexp_replace\(|sentences\("
+    )
+    def _lambda_bodies(plan: str):
+        # Paren-matched extraction: the plan prints a whole Project
+        # node on one line, so a fixed window would swallow sibling
+        # expressions that legitimately tokenize OUTSIDE the lambda.
+        for m in re.finditer(r"lambdafunction\(", plan):
+            i, depth = m.end(), 1
+            while i < len(plan) and depth:
+                depth += plan[i] == "("
+                depth -= plan[i] == ")"
+                i += 1
+            yield plan[m.end() : i - 1]
+
+    offenders = []
+    for name in REGISTRY:
+        plan = _optimized(spark, sf_dir, name)
+        if any(expensive.search(b) for b in _lambda_bodies(plan)):
+            offenders.append(name)
+    assert not offenders, (
+        f"expensive expression inside a lambda (per-element "
+        f"re-evaluation) in: {offenders} — let-bind the input with "
+        "functions/text.py _let"
+    )

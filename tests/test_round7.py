@@ -1,0 +1,97 @@
+"""Round-7 regression pins.
+
+1. The shingle CSE fix (functions/text.py ``_let``): Catalyst has no
+   common-subexpression elimination across references inside
+   higher-order-function lambdas, so the pre-fix
+   ``shingles(tokens(text))`` re-evaluated the tokenizing regex split
+   once per OUTPUT SHINGLE (O(len × shingles) per row — measured
+   10.0 s → 0.3 s at sf0.1 for the corpus shingle scan). The pin
+   asserts the optimized plan contains exactly ONE ``split(`` call, so
+   a future refactor that drops the let-binding (or a CollapseProject
+   behavior change that re-inlines it) fails loudly instead of
+   silently going quadratic.
+2. ``ann_recall_frontier`` invariants: recall@3 monotone
+   non-decreasing in nprobe (probing another list only adds
+   candidates) and candidate counts strictly increasing — the
+   driver-visible recall/latency curve must actually curve the right
+   way.
+3. bench.py's absolute-seconds regression floor: a sub-half-second
+   query can never be flagged regardless of norm ratio (round-6's
+   doc_language_mix "confirmed" a 2× on a 0.35 s query that was pure
+   JIT jitter), while slow queries still flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.functions import text as TX
+
+
+def test_shingles_plan_evaluates_tokenizer_once(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f",)], "text string"
+    ).select(F.explode(TX.shingles(TX.tokens("text"))).alias("g"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_splits = plan.count("split(")
+    assert n_splits == 1, (
+        f"tokenizer split() appears {n_splits}× in the optimized plan — "
+        "the shingles() let-binding (functions/text.py _let) is not "
+        "protecting the input from per-element re-evaluation"
+    )
+
+
+def test_shingles_values_and_short_input_guard(spark):
+    rows = (
+        spark.createDataFrame(
+            [("one two three four",), ("one two",), (None,)],
+            "text string",
+        )
+        .select(TX.shingles(TX.tokens("text")).alias("gs"))
+        .collect()
+    )
+    assert rows[0]["gs"] == ["one two three", "two three four"]
+    assert rows[1]["gs"] == []  # shorter than k → empty, not garbage
+    assert rows[2]["gs"] == []  # NULL text → empty
+
+
+def test_ann_recall_frontier_monotone(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras17 import ann_recall_frontier
+
+    rows = sorted(
+        ann_recall_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3]
+    recalls = [r["mean_recall_at_3"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert recalls == sorted(recalls), "recall must be monotone in nprobe"
+    assert cands == sorted(cands) and len(set(cands)) == 3, (
+        "candidate work must strictly grow with nprobe"
+    )
+    assert len({r["n_queries"] for r in rows}) == 1
+
+
+def test_bench_regression_floor_ignores_subsecond_queries(tmp_path, monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
+    sf = 0.1
+    # Seed 3 prior samples at norm 1.0 for both queries.
+    for _ in range(3):
+        bench._flag_and_update_history(
+            {"fast_q": 1.0, "slow_q": 1.0},
+            sf,
+            raw={"fast_q": 0.3, "slow_q": 2.0},
+        )
+    # Both now run at 3× their median norm; only the ≥0.5 s query flags.
+    regs, reseeded = bench._flag_and_update_history(
+        {"fast_q": 3.0, "slow_q": 3.0},
+        sf,
+        raw={"fast_q": 0.3, "slow_q": 6.0},
+    )
+    assert not reseeded
+    flagged = {r["query"] for r in regs}
+    assert flagged == {"slow_q"}, (
+        "sub-half-second queries must never flag; slow ones still must"
+    )

@@ -519,19 +519,25 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ucl_data_pipeline_spark.sources.io import fan_out
 
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = TX.tokens("text")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * _CHUNK + 1, _CHUNK), " "
-        ),
-    )
-    # guard: sequence(0, -1) counts DOWN in Spark; zero-token docs
-    # cannot occur (split always yields >= 1 token) but stay safe
-    chunks = F.when(n_chunks > 0, chunks).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # Let-bind the token array (TX._let): referenced inside the
+    # per-chunk transform lambda, an inline tokens("text") would be
+    # re-split once per emitted chunk — O(len × chunks) per doc.
+    def chunks_of(toks):
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
+        body = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * _CHUNK + 1, _CHUNK), " "
+            ),
+        )
+        # guard: sequence(0, -1) counts DOWN in Spark; zero-token docs
+        # cannot occur (split always yields >= 1 token) but stay safe
+        return F.when(n_chunks > 0, body).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    chunks = TX._let(TX.tokens("text"), chunks_of)
     ex = d.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
     dfc = ex.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("d")

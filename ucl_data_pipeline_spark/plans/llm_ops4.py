@@ -69,18 +69,26 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     same chunking is reproducible engine-wide.
     """
     d = read_table(spark, sf_dir, "documents")
-    t = TX.tokens("text")
-    starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_S))
-    chunk = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.cast("int").alias("chunk_start"),
-            F.least(F.lit(_CHUNK_W), F.size(t) - s).cast("int").alias(
-                "n_chunk_tokens"
+
+    # Let-bind the token array (TX._let): referenced inside the
+    # per-chunk transform lambda, an inline tokens("text") would be
+    # re-split once per emitted chunk — O(len × chunks) per doc.
+    def chunks_of(t):
+        starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_S))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("int").alias("chunk_start"),
+                F.least(F.lit(_CHUNK_W), F.size(t) - s).cast("int").alias(
+                    "n_chunk_tokens"
+                ),
+                F.concat_ws(" ", F.slice(t, s + 1, _CHUNK_W)).alias(
+                    "chunk_text"
+                ),
             ),
-            F.concat_ws(" ", F.slice(t, s + 1, _CHUNK_W)).alias("chunk_text"),
-        ),
-    )
+        )
+
+    chunk = TX._let(TX.tokens("text"), chunks_of)
     return d.select("doc_id", F.posexplode(chunk).alias("chunk_id", "c")).select(
         "doc_id",
         F.col("chunk_id").cast("int").alias("chunk_id"),
