@@ -140,9 +140,10 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     0..n/10 index sequence + array slice — no Python), one hash-agg
     computing span document-frequency, one join back. Cross-doc
     distinct-count (not raw occurrences) so a doc repeating its own
-    span doesn't self-flag. At 100 TB the spans would be xxhash64
-    digests rather than strings (noted, not needed for correctness)
-    and the span-df agg is map-side combinable; there is no pairwise
+    span doesn't self-flag. Spans are shuffled as 8-byte
+    xxhash64 digests (they are pure equality keys; the string-keyed
+    oracle is the collision check) and the span-df agg is map-side
+    combinable; there is no pairwise
     stage at all — this profile costs two shuffles regardless of the
     duplicate rate, unlike pair-enumerating dedup.
     """
@@ -167,7 +168,7 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("span"),
-    )
+    ).select("doc_id", F.xxhash64("span").alias("span"))
     span_df = spans.groupBy("span").agg(
         F.count_distinct("doc_id").alias("span_df")
     )

@@ -569,7 +569,8 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pairing, so no hot span can form a quadratic bucket — the
     100 TB guard, inert at bench SF. Distinct (doc, span) first so a
     doc repeating its own span can't inflate the pair count; spans
-    would be xxhash64 digests at scale.
+    shuffle as 8-byte xxhash64 digests (pure equality keys — the
+    string-keyed oracle is the collision check).
     """
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
@@ -587,7 +588,7 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("span"),
-    ).distinct()
+    ).select("doc_id", F.xxhash64("span").alias("span")).distinct()
     df = (
         spans.groupBy("span")
         .agg(F.count("*").alias("span_df"))

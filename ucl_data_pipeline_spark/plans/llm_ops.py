@@ -229,7 +229,10 @@ def lsh_candidate_pairs(feats: DataFrame) -> DataFrame:
     One pass over sig → (doc_id, band_idx, band_key): posexplode
     instead of a 3-way union (a union would recompute the whole
     minhash lineage once per band); candidates come from the
-    (band_idx, band_key) equi-join — never O(n²).
+    (band_idx, band_key) equi-join — never O(n²). The join shuffles
+    the 8-byte xxhash64 of the 32-char md5 band hex (band keys are
+    pure equality keys that never reach the output — 4× fewer shuffle
+    bytes per band row; the md5-keyed oracle is the collision check).
     """
     mh = [TX.minhash(F.col("feats"), s) for s in range(6)]
     sig = feats.select(
@@ -238,12 +241,16 @@ def lsh_candidate_pairs(feats: DataFrame) -> DataFrame:
         F.md5(F.concat(mh[2], mh[3])).alias("band_1"),
         F.md5(F.concat(mh[4], mh[5])).alias("band_2"),
     )
-    bucket = sig.select(
-        "doc_id",
-        F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
-            "band_idx", "band_key"
-        ),
-    ).filter(F.col("band_key").isNotNull())
+    bucket = (
+        sig.select(
+            "doc_id",
+            F.posexplode(F.array("band_0", "band_1", "band_2")).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .filter(F.col("band_key").isNotNull())
+        .select("doc_id", "band_idx", F.xxhash64("band_key").alias("band_key"))
+    )
     a = bucket.alias("a")
     b = bucket.alias("b")
     return (
@@ -389,9 +396,19 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall.
     """
     feats = _rep_features(spark, sf_dir)
-    ex = feats.select("doc_id", F.explode("feats").alias("f")).persist()
+    # Every downstream stage (df cap, inverted-index self-join, pair
+    # counting) uses the shingle only as an EQUALITY key — it never
+    # reaches the output — so shuffle the 8-byte xxhash64 digest
+    # instead of the raw ~20-30-byte 3-gram string (results differ
+    # only on a 64-bit collision; the DuckDB oracle keeps raw strings
+    # on the bounded fixture, which is exactly the collision check).
+    ex = (
+        feats.select("doc_id", F.explode("feats").alias("f"))
+        .select("doc_id", F.xxhash64("f").alias("f"))
+        .persist()
+    )
     # df-cap via groupBy-on-f + join-on-f: both stages key by the
-    # shingle, so AQE reuses one shuffle partitioning for both.
+    # shingle digest, so AQE reuses one shuffle partitioning for both.
     informative = (
         ex.groupBy("f")
         .agg(F.count("*").alias("df"))

@@ -95,10 +95,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ucl_data_pipeline_spark.sources.io import fan_out
 
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # 5-grams are equality keys only (bench-set semi-join + counts) —
+    # shuffle xxhash64 digests, not ~40-byte strings (collision-safe
+    # at 64 bits; the string-keyed oracle is the collision check).
     gram = d.select(
         "doc_id",
         F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("g"),
-    )
+    ).select("doc_id", F.xxhash64("g").alias("g"))
     bench = gram.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     eval_grams = gram.filter(F.col("doc_id") % 97 != 0)
     per_doc = eval_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

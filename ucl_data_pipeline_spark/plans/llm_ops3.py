@@ -288,7 +288,15 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ucl_data_pipeline_spark.plans.llm_ops import _rep_features
 
     feats = _rep_features(spark, sf_dir)
-    ex = feats.select("doc_id", F.explode("feats").alias("f")).persist()
+    # Shingles are pure EQUALITY keys downstream (df cap, self-join,
+    # pair count) and never reach the output — shuffle 8-byte xxhash64
+    # digests instead of raw trigram strings (collision-safe at 64
+    # bits; the string-keyed oracle is the collision check).
+    ex = (
+        feats.select("doc_id", F.explode("feats").alias("f"))
+        .select("doc_id", F.xxhash64("f").alias("f"))
+        .persist()
+    )
     informative = (
         ex.groupBy("f")
         .agg(F.count("*").alias("df"))

@@ -498,10 +498,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ucl_data_pipeline_spark.sources.io import fan_out
 
     d = read_table(spark, sf_dir, "documents")
+    # 5-grams are equality keys only (bench semi-join) — shuffle
+    # xxhash64 digests, not ~40-byte strings (collision-safe at 64
+    # bits; the string-keyed oracle is the collision check).
     gram = fan_out(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(TX.shingles(TX.tokens("text"), 5))).alias("g"),
-    )
+    ).select("doc_id", F.xxhash64("g").alias("g"))
     bench = gram.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     dirty = (
         gram.filter(F.col("doc_id") % 97 != 0)
