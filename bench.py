@@ -373,6 +373,49 @@ def _run_chunked(
     return timings, norms
 
 
+def _summary_line(out: dict, timings: dict[str, float]) -> dict:
+    """Compact summary payload for the LAST stdout line.
+
+    r7: the driver archives only the LAST ~2 KB of stdout, and the
+    full per-query "queries"/"tags" maps (~275 entries) grew past that
+    in r5 — BENCH_r05 and BENCH_r06 both recorded `"parsed": null`
+    with the headline scalars truncated away. Full runs therefore
+    print TWO JSON lines: the full map first (also persisted to
+    bench_full.json), then this summary LAST — same metric contract,
+    "queries" bounded to the slowest 10 (the ones a reader actually
+    wants in a tail), guaranteed to fit the tail window whole
+    (pinned < 2000 bytes by tests/test_round7.py and the emit-time
+    assert in main()). The regressions list is capped at 8 entries so
+    a pathological flag-storm cannot push the scalars out of the tail.
+    """
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": out["n_queries"],
+        "mean_query_sec": out["mean_query_sec"],
+        "mean_query_sec_headline": out["mean_query_sec_headline"],
+        "protocol": out["protocol"],
+        "queries": {n: round(t, 3) for n, t in slowest.items()},
+        "queries_truncated_to_slowest": len(slowest),
+        "queries_full": "bench_full.json",
+    }
+    for k in (
+        "calib_sec_median",
+        "regression_candidates",
+        "history_reseeded",
+    ):
+        if k in out:
+            summary[k] = out[k]
+    if "regressions" in out:
+        summary["regressions"] = out["regressions"][:8]
+        if len(out["regressions"]) > 8:
+            summary["regressions_truncated"] = len(out["regressions"])
+    return summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     subset = os.environ.get("BENCH_QUERIES")
@@ -470,39 +513,8 @@ def main() -> None:
             out["history_reseeded"] = reseeded
     print(json.dumps(out))
     if not subset:
-        # r7: the driver archives only the LAST ~2 KB of stdout, and
-        # the full per-query "queries"/"tags" maps (~275 entries) grew
-        # past that in r5 — BENCH_r05 and BENCH_r06 both recorded
-        # `"parsed": null` with the headline scalars truncated away.
-        # Emit a second, summary-only JSON line LAST: same metric
-        # contract, "queries" bounded to the slowest 10 (the ones a
-        # reader actually wants in a tail), guaranteed to fit the tail
-        # window whole. The full map is the first line above and is
-        # also persisted to bench_full.json for local history.
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-        )
-        summary = {
-            "metric": out["metric"],
-            "value": out["value"],
-            "unit": "sec",
-            "sf": out["sf"],
-            "n_queries": out["n_queries"],
-            "mean_query_sec": out["mean_query_sec"],
-            "mean_query_sec_headline": out["mean_query_sec_headline"],
-            "protocol": out["protocol"],
-            "queries": {n: round(t, 3) for n, t in slowest.items()},
-            "queries_truncated_to_slowest": len(slowest),
-            "queries_full": "bench_full.json",
-        }
-        for k in (
-            "calib_sec_median",
-            "regression_candidates",
-            "regressions",
-            "history_reseeded",
-        ):
-            if k in out:
-                summary[k] = out[k]
+        summary = _summary_line(out, timings)
+        assert len(json.dumps(summary)) < 2000, "summary line must fit tail"
         try:
             with open(
                 os.path.join(

@@ -95,3 +95,46 @@ def test_bench_regression_floor_ignores_subsecond_queries(tmp_path, monkeypatch)
     assert flagged == {"slow_q"}, (
         "sub-half-second queries must never flag; slow ones still must"
     )
+
+
+def test_bench_summary_line_fits_driver_tail():
+    # The driver archives only the last ~2 KB of bench stdout; the
+    # summary line (printed LAST on full runs) must always fit whole,
+    # even with the longest query names in the slowest-10 map and a
+    # flag-storm of regressions (capped at 8 entries).
+    import json
+
+    import bench
+    from ucl_data_pipeline_spark.plans import REGISTRY
+
+    longest = sorted(REGISTRY, key=len, reverse=True)
+    timings = {n: 123.456 for n in longest}
+    out = {
+        "metric": "engine_query_suite_runtime",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "mean_query_sec": 123.4567,
+        "mean_query_sec_headline": 123.4567,
+        "protocol": "cold-cache-per-run",
+        "calib_sec_median": 12.345,
+        "regression_candidates": 40,
+        "history_reseeded": False,
+        "regressions": [
+            {
+                "query": n,
+                "norm": 99.999,
+                "median_norm": 88.888,
+                "ratio": 9.99,
+                "recheck_norm": 77.777,
+            }
+            for n in longest[:40]
+        ],
+    }
+    summary = bench._summary_line(out, timings)
+    line = json.dumps(summary)
+    assert len(line) < 2000, f"summary line {len(line)} bytes"
+    assert summary["regressions_truncated"] == 40
+    assert len(summary["regressions"]) == 8
+    assert len(summary["queries"]) == 10

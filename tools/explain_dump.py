@@ -131,6 +131,12 @@ SHOWCASE = [
     ("mixture_temperature_weights", "order-pinned float fold: per-source "
      "terms collected into a key-sorted array and reduced sequentially — "
      "a deterministic scalar at any corpus size"),
+    ("ngram_novelty_rate", "shingle scan tokenizes ONCE per row (the _let "
+     "lambda binding — no per-element re-split) and both shuffles key on "
+     "8-byte xxhash64 digests, never raw 3-gram strings"),
+    ("ann_recall_frontier", "the whole recall-vs-nprobe curve from ONE "
+     "ranked-probe pass: nprobe variants are filters of one ranking; "
+     "centroids and probes broadcast, candidates label-equi-joined"),
 ]
 
 
