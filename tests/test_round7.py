@@ -138,3 +138,49 @@ def test_bench_summary_line_fits_driver_tail():
     assert summary["regressions_truncated"] == 40
     assert len(summary["regressions"]) == 8
     assert len(summary["queries"]) == 10
+
+
+def test_frontier_family_curves(spark, sf_dir):
+    # The three round-7 tuning frontiers must hold their STRUCTURAL
+    # invariants on the driver fixture:
+    # - MinHash: every k grades the SAME candidate pair set and errors
+    #   stay in [0, 1]. (The ~1/sqrt-k error decay is an expectation —
+    #   at sf0.001's handful of candidate pairs a single lucky hash
+    #   can invert it, so monotonicity is NOT pinned per-fixture; the
+    #   sf0.01 curve in the docstring shows the law.)
+    # - Pack count is non-increasing in the budget (256|512|1024 nest,
+    #   so coarser pack boundaries can only merge packs).
+    # - Contamination rate falls as grams lengthen (an 8-gram match
+    #   contains 5-gram matches; distinct-instance rates on the
+    #   fixture follow).
+    from ucl_data_pipeline_spark.plans.extras21 import (
+        contamination_gram_frontier,
+        minhash_size_frontier,
+        pack_budget_frontier,
+    )
+
+    mh = sorted(
+        minhash_size_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["n_hashes"],
+    )
+    assert [r["n_hashes"] for r in mh] == [2, 4, 6]
+    assert len({r["n_pairs"] for r in mh}) == 1
+    for r in mh:
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0, r
+
+    pk = sorted(
+        pack_budget_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["budget"],
+    )
+    assert [r["budget"] for r in pk] == [256, 512, 1024]
+    assert len({r["n_docs"] for r in pk}) == 1
+    packs = [r["n_packs"] for r in pk]
+    assert packs == sorted(packs, reverse=True), packs
+
+    ct = sorted(
+        contamination_gram_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["gram_len"],
+    )
+    assert [r["gram_len"] for r in ct] == [3, 5, 8]
+    rates = [r["contamination_rate"] for r in ct]
+    assert rates == sorted(rates, reverse=True), rates

@@ -45,3 +45,4 @@ from ucl_data_pipeline_spark.plans import extras20  # noqa: F401
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls
 REGISTRY = registry.REGISTRY
+from ucl_data_pipeline_spark.plans import extras21  # noqa: F401

@@ -86,9 +86,10 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-7 priority (the driver checks the first 50): (1) queries
-# registered NEW this round (ann_recall_frontier — the recall-vs-nprobe
-# curve); (2) the twelve end-of-round-6
+# Round-7 priority (the driver checks the first 50): (1) the four
+# NEW round-7 registrations — the tuning-frontier family
+# (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
+# contamination_gram_frontier); (2) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
 # segment_drift_decomposition, dedup_minhash_pr, ngram_novelty_rate,
@@ -109,6 +110,9 @@ def register(
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
     "ann_recall_frontier",
+    "minhash_size_frontier",
+    "pack_budget_frontier",
+    "contamination_gram_frontier",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -157,10 +161,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lang_id_heuristic",
     "embedding_topk_cosine",
     "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "label_centroids",
-    # round-2 vintage
-    "fractional_odds",
 )
 
 
