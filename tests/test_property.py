@@ -304,3 +304,49 @@ def test_bloom_filter_never_false_negative(spark, keys):
     for _, row in pos.iterrows():
         assert words[row.p1 // 8] >> (row.p1 % 8) & 1 == 1
         assert words[row.p2 // 8] >> (row.p2 % 8) & 1 == 1
+
+
+# ---------------------------------------------------------------------------
+# Shingling (round-7 _let rewrite): Catalyst expression vs Python model
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str | None, k: int) -> list[str]:
+    """Reference model of TX.shingles(TX.tokens(text), k): whitespace
+    tokens of lower-cased trimmed text, space-joined k-runs; <k tokens
+    (or NULL text) → empty. NB: Spark's (and DuckDB's) ``trim`` strips
+    SPACES only — a text of just ``"\\n"`` keeps its newline, splits
+    into two empty tokens and yields one ``" "`` 2-shingle; the model
+    mirrors that, it does not Python-``strip()`` all whitespace."""
+    if text is None:
+        return []
+    import re
+
+    toks = re.split(r"\s+", text.strip(" ").lower())
+    if len(toks) < k:
+        return []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+text_strategy = st.text(
+    alphabet=st.sampled_from("ab X.\t \n"), min_size=0, max_size=60
+)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=24), st.sampled_from([2, 3, 5]))
+@settings(**SETTINGS)
+def test_shingles_match_python_model(spark, texts, k):
+    # Pins the _let-bound shingles() (round-7 rewrite) semantically:
+    # the let-binding must change ONLY the evaluation count, never the
+    # output — including empty/whitespace-only strings, where Spark's
+    # split yields [''] (one empty token) exactly like Python's
+    # re.split on the stripped string.
+    from ucl_data_pipeline_spark.functions import text as TX
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", TX.shingles(TX.tokens("text"), k).alias("gs")
+    )
+    got = {r["id"]: r["gs"] for r in df.collect()}
+    for i, t in rows:
+        assert got[i] == _py_shingles(t, k), (t, k)
