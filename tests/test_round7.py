@@ -184,3 +184,25 @@ def test_frontier_family_curves(spark, sf_dir):
     assert [r["gram_len"] for r in ct] == [3, 5, 8]
     rates = [r["contamination_rate"] for r in ct]
     assert rates == sorted(rates, reverse=True), rates
+
+
+def test_curation_pipeline_ladder(spark, sf_dir):
+    # Structural invariants of the end-to-end composite: one row per
+    # input doc; kept rows (and ONLY kept rows) carry split + pack_id;
+    # the benchmark count matches the doc_id % 97 rule.
+    from ucl_data_pipeline_spark.plans.extras21 import curation_pipeline
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = curation_pipeline(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    n_bench = sum(1 for r in rows if r["disposition"] == "benchmark")
+    assert n_bench == sum(1 for r in rows if r["doc_id"] % 97 == 0)
+    for r in rows:
+        if r["disposition"] == "kept":
+            assert r["split"] in ("train", "val", "test") and r["pack_id"] >= 0
+        else:
+            assert r["split"] is None and r["pack_id"] is None
+    assert {r["disposition"] for r in rows} <= {
+        "benchmark", "contaminated", "low_quality", "near_dup", "kept"
+    }

@@ -14,6 +14,12 @@ established for IVF nprobe):
   the rate falling with n is the knob that separates true leakage
   from coincidental phrase overlap.
 
+Plus ``curation_pipeline``: the engine's whole use case as ONE lazy
+DAG — benchmark holdout → contamination gate → quality gate →
+fingerprint near-dedup → split + pack assignment, every doc leaving
+with a disposition, composed from the registered single-stage
+operators' exact spellings.
+
 Registry conventions apply (plans/registry.py): exact decimal sums,
 ROUND 6 on division outputs, atomic columns, BIGINT/DOUBLE oracle
 casts. All per-row statistics are exact integer ratios, so the only
@@ -439,3 +445,232 @@ def contamination_gram_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (the engine's use case as ONE DAG)
+# ---------------------------------------------------------------------------
+
+_CUR_Q_THRESH = 0.48   # ≈ corpus p25 — drops the worst quality quartile
+_CUR_PACK_B = 512      # pack budget for kept docs
+
+# Quality formula: EXACTLY text_quality_score's (llm_ops.py) spelling.
+_CUR_QSCORE_SQL = """
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * ttr
+    + 0.2 * least(1.0, stopword_ratio * 5.0)
+    + 0.1 * (1.0 - least(1.0, CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)))
+"""
+
+_CURATION_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, source, text, n_chars, {{toks}} AS toks FROM documents
+), q AS (
+  SELECT doc_id, source, n_chars, toks,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    CAST(len(list_filter(toks, t -> list_contains({{stoplist}}, t))) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM tok
+), scored AS (
+  SELECT doc_id, source, n_tokens, toks, fp,
+    ({_CUR_QSCORE_SQL}) AS qscore,
+    (doc_id % 97 = 0) AS is_bench
+  FROM q
+), bench_grams AS (
+  SELECT DISTINCT unnest(list_distinct({{kgrams5}})) AS g
+  FROM scored WHERE is_bench
+), ev_gram AS (
+  SELECT doc_id, unnest(list_distinct({{kgrams5}})) AS g
+  FROM scored WHERE NOT is_bench
+), dirty AS (
+  SELECT DISTINCT e.doc_id FROM ev_gram e JOIN bench_grams b ON e.g = b.g
+), s2 AS (  -- survivors past benchmark + contamination
+  SELECT s.* FROM scored s
+  LEFT JOIN dirty d ON s.doc_id = d.doc_id
+  WHERE NOT s.is_bench AND d.doc_id IS NULL
+), s3 AS (  -- survivors past the quality gate
+  SELECT * FROM s2 WHERE qscore >= {_CUR_Q_THRESH}
+), rep AS (
+  SELECT fp, MIN(doc_id) AS rep_id FROM s3 GROUP BY fp
+), kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens FROM s3 s
+  JOIN rep r ON s.fp = r.fp AND s.doc_id = r.rep_id
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN {{knuth}} < 80 THEN 'train'
+         WHEN {{knuth}} < 90 THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(FLOOR((SUM(n_tokens) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) - n_tokens) / {_CUR_PACK_B}.0) AS INTEGER) AS pack_id
+  FROM kept
+)
+SELECT s.doc_id, s.source,
+  CAST(s.n_tokens AS INTEGER) AS n_tokens,
+  CASE WHEN s.is_bench THEN 'benchmark'
+       WHEN d.doc_id IS NOT NULL THEN 'contaminated'
+       WHEN s.qscore < {_CUR_Q_THRESH} THEN 'low_quality'
+       WHEN p.doc_id IS NULL THEN 'near_dup'
+       ELSE 'kept' END AS disposition,
+  p.split,
+  p.pack_id
+FROM scored s
+LEFT JOIN dirty d ON s.doc_id = d.doc_id
+LEFT JOIN packed p ON s.doc_id = p.doc_id
+"""
+
+
+def _curation_oracle() -> str:
+    from ucl_data_pipeline_spark.plans.llm_ops import _SQL_STOPLIST
+    from ucl_data_pipeline_spark.plans.registry import sql_knuth_bucket
+
+    return _CURATION_ORACLE.format(
+        toks=_SQL_TOKS,
+        stoplist=_SQL_STOPLIST,
+        kgrams5=_sql_kgrams(5),
+        knuth=sql_knuth_bucket("doc_id", 100),
+    )
+
+
+@register(
+    "curation_pipeline",
+    oracle=_curation_oracle(),
+    tags=("llm", "text", "join", "flagship"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's whole use case as ONE lazy DAG: every document
+    enters and leaves with a disposition —
+
+      benchmark    → held out (doc_id % 97), its 5-grams become the
+                     contamination reference,
+      contaminated → shares ≥1 distinct 5-gram with the benchmark
+                     (checked FIRST so leakage can't hide behind a
+                     later gate — policy order, explicit by design),
+      low_quality  → text_quality_score's exact formula < {t},
+      near_dup     → not the lowest-doc_id representative of its
+                     order-insensitive token fingerprint (catches the
+                     shuffled near-copies byte-dedup misses),
+      kept         → assigned its deterministic 80/10/10 split (Knuth
+                     hash) and greedy 512-token pack id.
+
+    Each stage sees only the previous stage's survivors, exactly like
+    the production pipeline it models — and the whole ladder is one
+    Catalyst plan: the scan-side pass computes tokens, quality terms
+    and the fingerprint together; contamination is a digest semi-join
+    bounded by the (tiny) benchmark side; dedup is a fingerprint-grain
+    hash-agg + self-equi-join; the pack window runs only over kept
+    docs. Composes the registered single-stage operators
+    (text_quality_score, doc_fingerprint, decontaminate_docs,
+    train_val_test_split, pack_sequences_greedy) with their exact
+    spellings, so the composite can't drift from the pieces the
+    driver already checks.
+    """
+    from ucl_data_pipeline_spark.functions.scalar import knuth_bucket
+    from ucl_data_pipeline_spark.plans.llm_ops import _STOPWORDS
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        TX.tokens("text").alias("toks"),
+    )
+    n_tokens = F.size("toks")
+    stop_ratio = TX.stopword_hits(F.col("toks"), _STOPWORDS).cast(
+        "double"
+    ) / n_tokens.cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens.cast(
+        "double"
+    )
+    qscore = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * ttr
+        + 0.2 * F.least(F.lit(1.0), stop_ratio * 5.0)
+        + 0.1
+        * (
+            F.lit(1.0)
+            - F.least(
+                F.lit(1.0),
+                TX.punct_count("text").cast("double")
+                / F.col("n_chars").cast("double"),
+            )
+        )
+    )
+    scored = base.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.array_distinct(TX.shingles(F.col("toks"), 5)).alias("g5"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("fp"),
+        qscore.alias("qscore"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+    ).persist()
+    gram = scored.select(
+        "doc_id", "is_bench", F.explode("g5").alias("g")
+    ).select("doc_id", "is_bench", F.xxhash64("g").alias("g"))
+    bench_grams = gram.filter("is_bench").select("g").distinct()
+    dirty = (
+        gram.filter(~F.col("is_bench"))
+        .join(bench_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    flagged = scored.join(dirty, "doc_id", "left")
+    s3 = flagged.filter(
+        ~F.col("is_bench")
+        & F.col("is_dirty").isNull()
+        & (F.col("qscore") >= _CUR_Q_THRESH)
+    )
+    rep = s3.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    kept = s3.join(
+        rep, (s3["fp"] == rep["fp"]) & (s3["doc_id"] == rep["rep_id"])
+    ).select(s3["doc_id"], s3["source"], s3["n_tokens"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = knuth_bucket("doc_id", 100)
+    packed = kept.select(
+        "doc_id",
+        F.when(u < 80, "train").when(u < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / float(_CUR_PACK_B)
+        )
+        .cast("int")
+        .alias("pack_id"),
+        F.lit(True).alias("is_kept"),
+    )
+    return (
+        flagged.join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.when(F.col("is_bench"), "benchmark")
+            .when(F.col("is_dirty"), "contaminated")
+            .when(F.col("qscore") < _CUR_Q_THRESH, "low_quality")
+            .when(F.col("is_kept").isNull(), "near_dup")
+            .otherwise("kept")
+            .alias("disposition"),
+            "split",
+            "pack_id",
+        )
+    )
+
+
+curation_pipeline.__doc__ = curation_pipeline.__doc__.format(t=_CUR_Q_THRESH)

@@ -86,9 +86,10 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-7 priority (the driver checks the first 50): (1) the four
-# NEW round-7 registrations — the tuning-frontier family
-# (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
+# Round-7 priority (the driver checks the first 50): (1) the five
+# NEW round-7 registrations — the end-to-end curation_pipeline
+# composite and the tuning-frontier family (ann_recall_frontier,
+# minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier); (2) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
@@ -109,6 +110,7 @@ def register(
 # pytest oracle suite.
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
+    "curation_pipeline",
     "ann_recall_frontier",
     "minhash_size_frontier",
     "pack_budget_frontier",
@@ -160,7 +162,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "text_quality_score",
     "lang_id_heuristic",
     "embedding_topk_cosine",
-    "embedding_lsh_topk",
 )
 
 
