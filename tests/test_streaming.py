@@ -417,3 +417,37 @@ def test_daily_revenue_stream_multi_batch_state(spark, sf_dir, orders_dir, tmp_p
     got = rollup_cusum(daily)
     want = cusum_drift_daily(spark, sf_dir)
     assert _multiset(got) == _multiset(want)
+
+
+def test_curation_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    # The streaming curation gate (stateless: benchmark flag +
+    # static-broadcast contamination digests + quality threshold) must
+    # agree row-for-row with the batch curation_pipeline's ladder,
+    # with the cross-doc stages (near-dedup, packing) collapsed into
+    # 'candidate' — they are downstream batch steps by design.
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras21 import curation_pipeline
+    from ucl_data_pipeline_spark.streaming import (
+        bench_gram_digests_static,
+        curation_gate_stream,
+        read_docs_stream,
+    )
+
+    d = str(tmp_path / "docs_stream")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(2).write.parquet(d)
+    bench = bench_gram_digests_static(docs)
+    stream = curation_gate_stream(read_docs_stream(spark, d), bench)
+    got = run_available_now(stream, str(tmp_path / "ckpt"))
+    want = curation_pipeline(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("disposition").isin("near_dup", "kept"), "candidate"
+        )
+        .otherwise(F.col("disposition"))
+        .alias("gate"),
+    )
+    assert _multiset(got) == _multiset(want)

@@ -536,6 +536,60 @@ def _curation_oracle() -> str:
     )
 
 
+def curation_doc_signals(d: DataFrame) -> DataFrame:
+    """Scan-side curation signals shared by the batch pipeline and the
+    streaming gate (streaming/windows.py ``curation_gate_stream``):
+    from (doc_id, source, text, n_chars) compute n_tokens, the exact
+    text_quality_score formula, the distinct 5-gram array, the
+    order-insensitive token fingerprint, and the benchmark flag — one
+    projection, works identically on a bounded or unbounded DataFrame
+    (no shuffle, no state). ONE implementation so stream ≡ batch holds
+    by construction for every stateless gate.
+    """
+    from ucl_data_pipeline_spark.plans.llm_ops import _STOPWORDS
+
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        TX.tokens("text").alias("toks"),
+    )
+    n_tokens = F.size("toks")
+    stop_ratio = TX.stopword_hits(F.col("toks"), _STOPWORDS).cast(
+        "double"
+    ) / n_tokens.cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens.cast(
+        "double"
+    )
+    qscore = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * ttr
+        + 0.2 * F.least(F.lit(1.0), stop_ratio * 5.0)
+        + 0.1
+        * (
+            F.lit(1.0)
+            - F.least(
+                F.lit(1.0),
+                TX.punct_count("text").cast("double")
+                / F.col("n_chars").cast("double"),
+            )
+        )
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.array_distinct(TX.shingles(F.col("toks"), 5)).alias("g5"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("fp"),
+        qscore.alias("qscore"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+    )
+
+
 @register(
     "curation_pipeline",
     oracle=_curation_oracle(),
@@ -570,51 +624,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver already checks.
     """
     from ucl_data_pipeline_spark.functions.scalar import knuth_bucket
-    from ucl_data_pipeline_spark.plans.llm_ops import _STOPWORDS
 
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "n_chars"
     )
-    base = d.select(
-        "doc_id",
-        "source",
-        "text",
-        "n_chars",
-        TX.tokens("text").alias("toks"),
-    )
-    n_tokens = F.size("toks")
-    stop_ratio = TX.stopword_hits(F.col("toks"), _STOPWORDS).cast(
-        "double"
-    ) / n_tokens.cast("double")
-    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens.cast(
-        "double"
-    )
-    qscore = (
-        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
-        + 0.3 * ttr
-        + 0.2 * F.least(F.lit(1.0), stop_ratio * 5.0)
-        + 0.1
-        * (
-            F.lit(1.0)
-            - F.least(
-                F.lit(1.0),
-                TX.punct_count("text").cast("double")
-                / F.col("n_chars").cast("double"),
-            )
-        )
-    )
-    scored = base.select(
-        "doc_id",
-        "source",
-        "text",
-        n_tokens.cast("int").alias("n_tokens"),
-        F.array_distinct(TX.shingles(F.col("toks"), 5)).alias("g5"),
-        F.md5(
-            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
-        ).alias("fp"),
-        qscore.alias("qscore"),
-        (F.col("doc_id") % 97 == 0).alias("is_bench"),
-    ).persist()
+    scored = curation_doc_signals(d).persist()
     gram = scored.select(
         "doc_id", "is_bench", F.explode("g5").alias("g")
     ).select("doc_id", "is_bench", F.xxhash64("g").alias("g"))

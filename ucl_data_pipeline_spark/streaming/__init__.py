@@ -1,11 +1,14 @@
 """Structured Streaming operators (SURVEY.md §2.9)."""
 
 from ucl_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    bench_gram_digests_static,
+    curation_gate_stream,
     daily_revenue_stream,
     dedup_within_watermark,
     interval_join_stream,
     late_events_stream,
     ohlc_stream,
+    read_docs_stream,
     read_events_stream,
     read_orders_stream,
     rollup_changepoint,

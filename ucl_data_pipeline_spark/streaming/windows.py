@@ -511,6 +511,85 @@ def rollup_changepoint(daily: DataFrame) -> DataFrame:
     )
 
 
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of documents (micro-batched parquet dir)."""
+    return spark.readStream.schema(DOCS_STREAM_SCHEMA).format(
+        "parquet"
+    ).load(path)
+
+
+def curation_gate_stream(
+    docs: DataFrame, bench_gram_digests: DataFrame
+) -> DataFrame:
+    """Streaming twin of the STATELESS prefix of ``curation_pipeline``
+    (plans/extras21.py): per incoming document, the benchmark flag,
+    the contamination gate against a STATIC benchmark-5-gram digest
+    set, and the quality gate — emitted as
+    gate ∈ {benchmark, contaminated, low_quality, candidate}.
+
+    This is the shape a streaming ingest filter actually has: the
+    benchmark side is external and bounded by definition, so its
+    digest set folds into ONE broadcast row (collect_set) and the
+    whole gate is a stateless projection + arrays_overlap — no state
+    store, no watermark, unbounded throughput. The cross-doc stages
+    (fingerprint dedup, packing) stay downstream batch/foreachBatch
+    steps over the candidates, exactly like the session-histogram and
+    CUSUM rollup precedents in this module. Signals come from the
+    SAME ``curation_doc_signals`` projection the batch pipeline uses,
+    so stream ≡ batch holds by construction.
+    """
+    from ucl_data_pipeline_spark.plans.extras21 import (
+        _CUR_Q_THRESH,
+        curation_doc_signals,
+    )
+
+    bench_arr = bench_gram_digests.agg(
+        F.collect_set("g").alias("bench_g")
+    )
+    sig = curation_doc_signals(
+        docs.select("doc_id", "source", "text", "n_chars")
+    ).withColumn(
+        "g5d", F.transform("g5", lambda x: F.xxhash64(x))
+    )
+    gate = (
+        F.when(F.col("is_bench"), "benchmark")
+        .when(F.arrays_overlap("g5d", "bench_g"), "contaminated")
+        .when(F.col("qscore") < _CUR_Q_THRESH, "low_quality")
+        .otherwise("candidate")
+    )
+    return (
+        sig.crossJoin(F.broadcast(bench_arr))
+        .select("doc_id", "source", "n_tokens", gate.alias("gate"))
+    )
+
+
+def bench_gram_digests_static(docs: DataFrame) -> DataFrame:
+    """Static benchmark-side build for ``curation_gate_stream``: the
+    distinct xxhash64 digests of the benchmark docs' distinct 5-grams
+    (one bounded batch job — in production this reads the external
+    benchmark corpus)."""
+    from ucl_data_pipeline_spark.plans.extras21 import curation_doc_signals
+
+    return (
+        curation_doc_signals(
+            docs.select("doc_id", "source", "text", "n_chars")
+        )
+        .filter("is_bench")
+        .select(F.explode("g5").alias("g"))
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+
+
 def rollup_late_stats(partials: DataFrame) -> DataFrame:
     """Additive rollup of ``late_events_stream`` partials to the batch
     ``out_of_order_stats`` grain (per event_type): counts sum, maxes
