@@ -137,6 +137,10 @@ SHOWCASE = [
     ("ann_recall_frontier", "the whole recall-vs-nprobe curve from ONE "
      "ranked-probe pass: nprobe variants are filters of one ranking; "
      "centroids and probes broadcast, candidates label-equi-joined"),
+    ("curation_pipeline", "five curation gates in ONE plan: scan-side "
+     "signals (tokens+quality+fingerprint+5-grams together), digest "
+     "semi-join contamination bounded by the benchmark side, "
+     "fingerprint-grain dedup agg, pack window over kept docs only"),
 ]
 
 
