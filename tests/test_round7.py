@@ -206,3 +206,229 @@ def test_curation_pipeline_ladder(spark, sf_dir):
     assert {r["disposition"] for r in rows} <= {
         "benchmark", "contaminated", "low_quality", "near_dup", "kept"
     }
+
+
+# ---------------------------------------------------------------------------
+# extras22 monitoring-statistics batch: independent Python references
+# ---------------------------------------------------------------------------
+
+def _daily_decimal(sf_dir):
+    """Daily revenue as EXACT decimals — mirrors the engine's
+    cast-to-DECIMAL(18,2)-then-sum spelling so the reference model
+    shares the queries' arithmetic, not their code."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    o["day"] = o["o_orderdate"].dt.date
+    o["rev"] = [Decimal(f"{x:.2f}") for x in o["o_totalprice"]]
+    return o.groupby("day")["rev"].apply(lambda s: sum(s, Decimal(0)))
+
+
+def test_theil_sen_matches_python_reference(spark, sf_dir):
+    daily = _daily_decimal(sf_dir).sort_index()
+    days = list(daily.index)
+    revs = [float(v) for v in daily.values]
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            slopes.append(
+                round((revs[j] - revs[i]) / (days[j] - days[i]).days, 6)
+            )
+    slopes.sort()
+    k = (len(slopes) + 1) // 2
+    expect_n, expect_med = len(slopes), slopes[k - 1]
+
+    from ucl_data_pipeline_spark.plans.extras22 import theil_sen_slope_daily
+
+    row = theil_sen_slope_daily(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == expect_n
+    assert abs(row["theil_sen_slope"] - expect_med) < 1e-9
+
+
+def test_kendall_tau_matches_contingency_reference(spark, sf_dir):
+    # Independent spelling: pandas crosstab + O(cells²) numpy loops,
+    # vs the engine's cell×cell SQL join.
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_discount", "l_tax"])
+    from ucl_data_pipeline_spark.plans.extras22 import kendall_tau_via_grain
+
+    got = {r["flag"]: r for r in kendall_tau_via_grain(spark, sf_dir).collect()}
+    for flag, sub in li.groupby("l_returnflag"):
+        ct = pd.crosstab(sub["l_discount"], sub["l_tax"]).to_numpy()
+        xs, ys = ct.shape
+        conc = disc = 0
+        for a in range(xs):
+            for b in range(ys):
+                if not ct[a, b]:
+                    continue
+                for a2 in range(a + 1, xs):
+                    for b2 in range(ys):
+                        if ys and ct[a2, b2]:
+                            if b2 > b:
+                                conc += int(ct[a, b]) * int(ct[a2, b2])
+                            elif b2 < b:
+                                disc += int(ct[a, b]) * int(ct[a2, b2])
+        n = int(ct.sum())
+        n0 = n * (n - 1) / 2
+        tx = sum(int(t) * (int(t) - 1) // 2 for t in ct.sum(axis=1))
+        ty = sum(int(t) * (int(t) - 1) // 2 for t in ct.sum(axis=0))
+        tau = (conc - disc) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+        r = got[flag]
+        assert (r["concordant"], r["discordant"]) == (conc, disc), flag
+        assert abs(r["tau_b"] - round(tau, 6)) < 1e-6, flag
+        # engine-level sanity: tau must land in [-1, 1]
+        assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_erfc_polynomial_matches_math_erfc():
+    # The A&S 7.1.26 approximation used for p-values is accurate to
+    # 1.5e-7 — verify the exact Horner spelling the engine ships.
+    import math
+
+    for z in [0.0, 0.1, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 4.0, 5.0]:
+        x = z / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        approx = poly * math.exp(-x * x)
+        assert abs(approx - math.erfc(x)) < 1.5e-7, z
+
+
+def test_benjamini_hochberg_stepup_properties(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras22 import benjamini_hochberg_promo
+
+    rows = sorted(
+        benjamini_hochberg_promo(spark, sf_dir).collect(),
+        key=lambda r: (r["p_value"], r["container"]),
+    )
+    assert rows, "no test groups survived the n>=2 filters"
+    prev_q = 0.0
+    for r in rows:
+        # q >= p (the step-up can only inflate), q in [0, 1], and the
+        # adjusted values are monotone along the p ordering — the three
+        # defining properties of BH adjustment.
+        assert r["q_value"] >= r["p_value"] - 1e-9
+        assert 0.0 <= r["q_value"] <= 1.0
+        assert r["q_value"] >= prev_q - 1e-9
+        prev_q = r["q_value"]
+        assert r["reject"] == (1 if r["q_value"] <= 0.05 else 0)
+
+
+def test_brown_forsythe_matches_python_reference(spark, sf_dir):
+    from decimal import Decimal
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    o["x"] = [Decimal(f"{v:.2f}") for v in o["o_totalprice"]]
+    groups = {}
+    for grp, sub in o.groupby("o_orderpriority"):
+        xs = sorted(sub["x"])
+        med = xs[(len(xs) + 1) // 2 - 1]  # discrete lower median
+        groups[grp] = [abs(v - med) for v in xs]
+    k = len(groups)
+    n_total = sum(len(z) for z in groups.values())
+    sum_sq_over_n = sum(
+        round(float(sum(z, Decimal(0))) ** 2 / len(z), 6)
+        for z in groups.values()
+    )
+    s_all = float(sum((sum(z, Decimal(0)) for z in groups.values()),
+                      Decimal(0)))
+    ssw = sum(
+        round(float(sum((v * v for v in z), Decimal(0)))
+              - float(sum(z, Decimal(0))) ** 2 / len(z), 6)
+        for z in groups.values()
+    )
+    f_expect = ((n_total - k) / (k - 1)) * (
+        sum_sq_over_n - s_all * s_all / n_total) / ssw
+
+    from ucl_data_pipeline_spark.plans.extras22 import brown_forsythe_priority
+
+    row = brown_forsythe_priority(spark, sf_dir).collect()[0]
+    assert (row["n_groups"], row["n_total"]) == (k, n_total)
+    assert abs(row["f_stat"] - f_expect) < 1e-4
+
+
+def test_page_hinkley_matches_python_reference(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> Decimal:
+        # Spark's ROUND on doubles is HALF_UP; Python's format/round are
+        # half-even — mirror the engine's rounding exactly.
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    daily = _daily_decimal(sf_dir).sort_index()
+    mmin = float("inf")
+    expect = []
+    s = Decimal(0)
+    terms = Decimal(0)
+    for i, (day, rev) in enumerate(daily.items(), start=1):
+        s += rev
+        t6 = r6(float(rev) - float(s) / i)
+        terms += t6
+        m = float(terms)
+        mmin = min(mmin, m)
+        expect.append((day, float(r6(m - mmin))))
+
+    from ucl_data_pipeline_spark.plans.extras22 import page_hinkley_drift_daily
+
+    got = sorted(
+        page_hinkley_drift_daily(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == len(expect)
+    for r, (day, ph) in zip(got, expect):
+        assert r["day"] == day
+        assert abs(r["ph_stat"] - ph) < 1e-6, day
+        assert r["ph_stat"] >= 0.0  # PH is a drawup: m_t - prefix-min
+
+
+def test_assortativity_matches_python_reference(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    flows = (j.groupby(["s_nationkey", "c_nationkey"]).size()
+              .reset_index(name="w"))
+    avg_w = flows["w"].sum() / len(flows)
+    edges = flows[flows["w"] > avg_w][["s_nationkey", "c_nationkey"]]
+    outd = edges.groupby("s_nationkey").size()
+    ind = edges.groupby("c_nationkey").size()
+    u = edges["s_nationkey"].map(outd).astype(int)
+    v = edges["c_nationkey"].map(ind).astype(int)
+    n = len(edges)
+    num = n * int((u * v).sum()) - int(u.sum()) * int(v.sum())
+    den = (math.sqrt(n * int((u * u).sum()) - int(u.sum()) ** 2)
+           * math.sqrt(n * int((v * v).sum()) - int(v.sum()) ** 2))
+    expect = None if den == 0 else round(num / den, 6)
+
+    from ucl_data_pipeline_spark.plans.extras22 import (
+        degree_assortativity_trade,
+    )
+
+    row = degree_assortativity_trade(spark, sf_dir).collect()[0]
+    assert row["n_edges"] == n
+    if expect is None:
+        assert row["assortativity"] is None
+    else:
+        assert abs(row["assortativity"] - expect) < 1e-6

@@ -41,8 +41,9 @@ from ucl_data_pipeline_spark.plans import extras17  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras18  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras19  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras20  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras21  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras22  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls
 REGISTRY = registry.REGISTRY
-from ucl_data_pipeline_spark.plans import extras21  # noqa: F401

@@ -86,11 +86,15 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-7 priority (the driver checks the first 50): (1) the five
+# Round-7 priority (the driver checks the first 50): (1) the eleven
 # NEW round-7 registrations — the end-to-end curation_pipeline
-# composite and the tuning-frontier family (ann_recall_frontier,
+# composite, the tuning-frontier family (ann_recall_frontier,
 # minhash_size_frontier, pack_budget_frontier,
-# contamination_gram_frontier); (2) the twelve end-of-round-6
+# contamination_gram_frontier), and the extras22 monitoring-statistics
+# batch (theil_sen_slope_daily, kendall_tau_via_grain,
+# benjamini_hochberg_promo, brown_forsythe_priority,
+# degree_assortativity_trade, page_hinkley_drift_daily);
+# (2) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
 # segment_drift_decomposition, dedup_minhash_pr, ngram_novelty_rate,
@@ -115,6 +119,13 @@ EXPORT_FIRST: tuple[str, ...] = (
     "minhash_size_frontier",
     "pack_budget_frontier",
     "contamination_gram_frontier",
+    # new in round 7, batch 2 (extras22): monitoring statistics
+    "theil_sen_slope_daily",
+    "kendall_tau_via_grain",
+    "benjamini_hochberg_promo",
+    "brown_forsythe_priority",
+    "degree_assortativity_trade",
+    "page_hinkley_drift_daily",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -156,12 +167,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "dedup_exact_normalized",
     "doc_fingerprint",
     "minhash_signatures",
-    "dedup_minhash_lsh",
-    "text_token_stats",
-    "bpe_token_count",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "embedding_topk_cosine",
+    # (dedup_minhash_lsh, text_token_stats, bpe_token_count,
+    # text_quality_score, lang_id_heuristic, embedding_topk_cosine and
+    # the remaining r1 vintage rotate in next round — displaced by the
+    # extras22 batch, which must be driver-checked while new.)
 )
 
 
