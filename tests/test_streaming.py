@@ -451,3 +451,23 @@ def test_curation_gate_stream_equals_batch(spark, sf_dir, tmp_path):
         .alias("gate"),
     )
     assert _multiset(got) == _multiset(want)
+
+
+def test_page_hinkley_stream_equals_batch(spark, sf_dir, orders_dir, tmp_path):
+    # Same discipline as the CUSUM/changepoint twins: the streaming
+    # day-grain pre-agg + the SHARED page_hinkley_over_daily math must
+    # reproduce the driver-oracle-checked batch query exactly.
+    from ucl_data_pipeline_spark.plans.extras22 import page_hinkley_drift_daily
+    from ucl_data_pipeline_spark.streaming import (
+        daily_revenue_stream,
+        read_orders_stream,
+        rollup_page_hinkley,
+    )
+
+    stream = daily_revenue_stream(read_orders_stream(spark, orders_dir))
+    daily = run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = rollup_page_hinkley(daily)
+    want = page_hinkley_drift_daily(spark, sf_dir)
+    assert _multiset(got) == _multiset(want)

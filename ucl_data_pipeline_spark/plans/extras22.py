@@ -756,31 +756,14 @@ FROM m
 """
 
 
-@register(
-    "page_hinkley_drift_daily", oracle=_PH_ORACLE, tags=("temporal", "stats")
-)
-def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-Hinkley sequential change-point statistic over daily
-    revenue: mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ) with x̄ᵢ the RUNNING mean (δ=0
-    variant), reported as PHₜ = mₜ − minᵢ≤ₜ mᵢ — the one-pass upward
-    drift detector streaming systems run (an alarm fires when PH
-    exceeds λ). Sibling of ``cusum_drift_daily``, which uses the fixed
-    global mean; PH needs no second pass, which is why it streams.
-
-    Determinism: the running revenue sum stays in exact decimal; each
-    deviation term xᵢ − Sᵢ/i is one identical double op rounded to 6 dp
-    and CUMULATIVELY SUMMED IN DECIMAL (window sum implementations
-    accumulate doubles in different orders — segment trees vs running —
-    so the prefix sum must be exact to be cross-engine stable); the
-    prefix min is order-safe. Final ROUND 6.
-
-    Scale: identical to the cusum family — fact-sized work is the
-    per-day hash-agg; every window runs on the calendar-bounded day
-    grain. The streaming twin is a transformWithState/applyInPandas
-    running (count, sum, min) per key — see streaming/windows.py
-    rollup_cusum for the registered precedent.
-    """
-    daily = _daily(spark, sf_dir)
+def page_hinkley_over_daily(daily: DataFrame) -> DataFrame:
+    """Day-grain Page-Hinkley math shared by the batch query and the
+    streaming rollup (streaming/windows.py ``rollup_page_hinkley``):
+    input is (day, rev) with ``rev`` an exact decimal daily sum; output
+    is (day, revenue, ph_stat). ONE implementation, the
+    ``cusum_over_daily`` discipline, so the stream≡batch parity test
+    pins the streaming twin against exactly the arithmetic the driver
+    oracle checks."""
     w = Window.orderBy("day")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seq = daily.select(
@@ -804,3 +787,31 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("revenue"),
         F.round(F.col("mt") - F.min("mt").over(wc), 6).alias("ph_stat"),
     )
+
+
+@register(
+    "page_hinkley_drift_daily", oracle=_PH_ORACLE, tags=("temporal", "stats")
+)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change-point statistic over daily
+    revenue: mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ) with x̄ᵢ the RUNNING mean (δ=0
+    variant), reported as PHₜ = mₜ − minᵢ≤ₜ mᵢ — the one-pass upward
+    drift detector streaming systems run (an alarm fires when PH
+    exceeds λ). Sibling of ``cusum_drift_daily``, which uses the fixed
+    global mean; PH needs no second pass, which is why it streams.
+
+    Determinism: the running revenue sum stays in exact decimal; each
+    deviation term xᵢ − Sᵢ/i is one identical double op rounded to 6 dp
+    and CUMULATIVELY SUMMED IN DECIMAL (window sum implementations
+    accumulate doubles in different orders — segment trees vs running —
+    so the prefix sum must be exact to be cross-engine stable); the
+    prefix min is order-safe. Final ROUND 6.
+
+    Scale: identical to the cusum family — fact-sized work is the
+    per-day hash-agg; every window runs on the calendar-bounded day
+    grain. The streaming twin is a transformWithState/applyInPandas
+    running (count, sum, min) per key — see streaming/windows.py
+    rollup_cusum for the registered precedent; ``rollup_page_hinkley``
+    delegates to the same :func:`page_hinkley_over_daily` this uses.
+    """
+    return page_hinkley_over_daily(_daily(spark, sf_dir))

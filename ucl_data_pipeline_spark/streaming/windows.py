@@ -498,6 +498,20 @@ def rollup_cusum(daily: DataFrame) -> DataFrame:
     return cusum_over_daily(daily)
 
 
+def rollup_page_hinkley(daily: DataFrame) -> DataFrame:
+    """Page-Hinkley drift statistic over the closed (day, rev) rows
+    emitted by ``daily_revenue_stream`` — delegates to the SAME
+    day-grain math the driver-oracle-checked batch query uses
+    (plans/extras22.page_hinkley_over_daily), so stream ≡ batch by
+    construction. Unlike CUSUM's global mean, PH only needs prefix
+    state (running count/sum/min), which is why it is THE classic
+    streaming drift detector — the rollup still runs over the
+    day-grain sink here for exact parity with the batch oracle."""
+    from ucl_data_pipeline_spark.plans.extras22 import page_hinkley_over_daily
+
+    return page_hinkley_over_daily(daily)
+
+
 def rollup_changepoint(daily: DataFrame) -> DataFrame:
     """Best single split over the closed (day, rev) rows emitted by
     ``daily_revenue_stream`` — delegates to the SAME day-grain
