@@ -432,3 +432,79 @@ def test_assortativity_matches_python_reference(spark, sf_dir):
         assert row["assortativity"] is None
     else:
         assert abs(row["assortativity"] - expect) < 1e-6
+
+
+def test_source_jsd_matches_python_reference(spark, sf_dir):
+    # Full union-support JSD in plain Python (Counter-based) vs the
+    # engine's intersection-join + exclusive-mass decomposition.
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+    dist: dict[str, Counter] = {}
+    for src, sub in d.groupby("source"):
+        c = Counter()
+        for t in sub["text"]:
+            c.update(re.split(r"\s+", t.strip().lower()))
+        dist[src] = c
+
+    def jsd(a: Counter, b: Counter) -> float:
+        na, nb = sum(a.values()), sum(b.values())
+        s = 0.0
+        for t in set(a) | set(b):
+            p, q = a.get(t, 0) / na, b.get(t, 0) / nb
+            if p:
+                s += p * math.log2(2 * p / (p + q))
+            if q:
+                s += q * math.log2(2 * q / (p + q))
+        return s / 2
+
+    from ucl_data_pipeline_spark.plans.extras23 import source_jsd_matrix
+
+    rows = source_jsd_matrix(spark, sf_dir).collect()
+    srcs = sorted(dist)
+    assert len(rows) <= len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        expect = jsd(dist[r["source_a"]], dist[r["source_b"]])
+        assert abs(r["jsd"] - expect) < 1e-5, (r["source_a"], r["source_b"])
+        assert 0.0 <= r["jsd"] <= 1.0
+        assert r["source_a"] < r["source_b"]
+
+
+def test_ann_rrf_fusion_invariants(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras23 import _RRF_K, ann_rrf_fusion
+    from ucl_data_pipeline_spark.plans.llm_ops import (
+        embedding_ivf_topk,
+        embedding_lsh_topk,
+    )
+
+    fused = ann_rrf_fusion(spark, sf_dir).collect()
+    assert fused
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in embedding_lsh_topk(spark, sf_dir).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in embedding_ivf_topk(spark, sf_dir).collect()}
+    by_q: dict[int, list] = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # fused candidates come only from the two input rankings
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in lsh or key in ivf
+        assert r["n_lists"] == (key in lsh) + (key in ivf)
+        # score bounds: n_lists terms, each in (0, 1/(k+1)]
+        assert 0.0 < r["rrf_score"] <= round(r["n_lists"] / (_RRF_K + 1), 6)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # two-list scores have a hard floor: both ranks are ≤ 3, so
+        # score ≥ 2/(k+3) — any single-list score is < 1/(k+1) < that,
+        # i.e. consensus neighbors always outrank single-ranker ones
+        for r in rs:
+            if r["n_lists"] == 2:
+                assert r["rrf_score"] >= round(2 / (_RRF_K + 3), 6) - 1e-9

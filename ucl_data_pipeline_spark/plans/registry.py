@@ -126,6 +126,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "brown_forsythe_priority",
     "degree_assortativity_trade",
     "page_hinkley_drift_daily",
+    # new in round 7, batch 3 (extras23): mixture JSD + rank fusion
+    "source_jsd_matrix",
+    "ann_rrf_fusion",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -165,12 +168,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "rank_function_surface",
     "dedup_exact",
     "dedup_exact_normalized",
-    "doc_fingerprint",
-    "minhash_signatures",
-    # (dedup_minhash_lsh, text_token_stats, bpe_token_count,
-    # text_quality_score, lang_id_heuristic, embedding_topk_cosine and
-    # the remaining r1 vintage rotate in next round — displaced by the
-    # extras22 batch, which must be driver-checked while new.)
+    # (doc_fingerprint, minhash_signatures, dedup_minhash_lsh,
+    # text_token_stats, bpe_token_count, text_quality_score,
+    # lang_id_heuristic, embedding_topk_cosine and the remaining r1
+    # vintage rotate in next round — displaced by the extras22/23
+    # batches, which must be driver-checked while new.)
 )
 
 
