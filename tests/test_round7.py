@@ -508,3 +508,46 @@ def test_ann_rrf_fusion_invariants(spark, sf_dir):
         for r in rs:
             if r["n_lists"] == 2:
                 assert r["rrf_score"] >= round(2 / (_RRF_K + 3), 6) - 1e-9
+
+
+def test_dedup_threshold_frontier_monotone(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras24 import dedup_threshold_frontier
+
+    rows = sorted(
+        dedup_threshold_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.80, 0.90, 0.95]
+    # one shared candidate pass: identical pair counts per setting
+    assert len({r["n_candidate_pairs"] for r in rows}) == 1
+    dups = [r["n_dup_pairs"] for r in rows]
+    drops = [r["n_dropped"] for r in rows]
+    # raising the threshold can only shrink the dup set
+    assert dups == sorted(dups, reverse=True)
+    assert drops == sorted(drops, reverse=True)
+    for r in rows:
+        assert r["n_dropped"] <= r["n_dup_pairs"]
+        assert 0.0 <= r["drop_rate"] <= 1.0
+    # the injected α=0.2 class (cos≈0.98) must survive even the
+    # tightest threshold: the curve is non-trivial on the fixture
+    assert rows[-1]["n_dup_pairs"] > 0
+
+
+def test_watermark_lateness_frontier_monotone(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras24 import (
+        watermark_lateness_frontier,
+    )
+
+    rows = sorted(
+        watermark_lateness_frontier(spark, sf_dir).collect(),
+        key=lambda r: r["horizon_seconds"],
+    )
+    assert [r["horizon_seconds"] for r in rows] == [60, 3600, 86400]
+    assert len({r["n_events"] for r in rows}) == 1
+    dropped = [r["n_dropped"] for r in rows]
+    # a longer watermark can only drop fewer events
+    assert dropped == sorted(dropped, reverse=True)
+    # injected delays are 30-120 min: the 60 s horizon must drop some,
+    # the 1 d horizon must drop none
+    assert dropped[0] > 0
+    assert dropped[-1] == 0

@@ -129,6 +129,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7, batch 3 (extras23): mixture JSD + rank fusion
     "source_jsd_matrix",
     "ann_rrf_fusion",
+    # new in round 7, batch 4 (extras24): dedup + watermark frontiers
+    "dedup_threshold_frontier",
+    "watermark_lateness_frontier",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -166,13 +169,12 @@ EXPORT_FIRST: tuple[str, ...] = (
     "conditional_agg",
     "zscore_by_group",
     "rank_function_surface",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    # (doc_fingerprint, minhash_signatures, dedup_minhash_lsh,
-    # text_token_stats, bpe_token_count, text_quality_score,
-    # lang_id_heuristic, embedding_topk_cosine and the remaining r1
-    # vintage rotate in next round — displaced by the extras22/23
-    # batches, which must be driver-checked while new.)
+    # (dedup_exact, dedup_exact_normalized, doc_fingerprint,
+    # minhash_signatures, dedup_minhash_lsh, text_token_stats,
+    # bpe_token_count, text_quality_score, lang_id_heuristic,
+    # embedding_topk_cosine and the remaining r1 vintage rotate in next
+    # round — displaced by the extras22/23/24 batches, which must be
+    # driver-checked while new.)
 )
 
 
