@@ -141,6 +141,15 @@ SHOWCASE = [
      "signals (tokens+quality+fingerprint+5-grams together), digest "
      "semi-join contamination bounded by the benchmark side, "
      "fingerprint-grain dedup agg, pack window over kept docs only"),
+    ("theil_sen_slope_daily", "rank-k by distributed selection: one "
+     "cached calendar-bounded pair set, 4096-bucket histogram walk to "
+     "the target bucket, sort ONLY that bucket — no global sort"),
+    ("source_jsd_matrix", "intersection-only JSD: one (source, "
+     "term-digest) counting shuffle, exclusive mass recovered "
+     "arithmetically from exact integer sums — no full-outer join"),
+    ("kendall_tau_via_grain", "tau-b with zero row pairs: one fact "
+     "hash-agg to contingency cells, concordance from the broadcast "
+     "cell-by-cell join"),
 ]
 
 
