@@ -551,3 +551,66 @@ def test_watermark_lateness_frontier_monotone(spark, sf_dir):
     # the 1 d horizon must drop none
     assert dropped[0] > 0
     assert dropped[-1] == 0
+
+
+def test_logrank_matches_python_reference(spark, sf_dir):
+    # Independent reference: per-user durations in pandas, then the
+    # textbook per-event-time O/E/V loop.
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"])
+    rows = []
+    for uid, sub in e.groupby("user_id"):
+        first = sub["ts"].min()
+        hit = sub.loc[sub["value"] > 200, "ts"].min()
+        end = hit if pd.notna(hit) else sub["ts"].max()
+        dur = (end.value // 10**3) // 3_600_000_000 \
+            - (first.value // 10**3) // 3_600_000_000
+        rows.append((uid % 2, dur, int(pd.notna(hit))))
+    df = pd.DataFrame(rows, columns=["grp", "dur", "obs"])
+    na = int((df["grp"] == 1).sum())
+    nb = int((df["grp"] == 0).sum())
+    o1 = 0
+    e1 = v = 0.0
+    n1r, n0r = na, nb
+    for dur, cell in df.sort_values("dur").groupby("dur"):
+        d1 = int(cell.loc[cell["grp"] == 1, "obs"].sum())
+        d0 = int(cell.loc[cell["grp"] == 0, "obs"].sum())
+        d, n = d1 + d0, n1r + n0r
+        if d > 0:
+            o1 += d1
+            e1 += d * n1r / n
+            if n > 1:
+                v += d * n1r / n * n0r / n * (n - d) / (n - 1)
+        n1r -= int((cell["grp"] == 1).sum())
+        n0r -= int((cell["grp"] == 0).sum())
+    chi2 = (o1 - e1) ** 2 / v
+
+    from ucl_data_pipeline_spark.plans.extras25 import logrank_survival_ab
+
+    row = logrank_survival_ab(spark, sf_dir).collect()[0]
+    assert (row["n_users_a"], row["n_users_b"]) == (na, nb)
+    assert row["observed_a"] == o1
+    assert abs(row["expected_a"] - e1) < 1e-4
+    assert abs(row["logrank_chi2"] - chi2) < 1e-3
+
+
+def test_tokenizer_fertility_matches_python_reference(spark, sf_dir):
+    import re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "n_chars", "text"])
+    from ucl_data_pipeline_spark.plans.extras25 import tokenizer_fertility
+
+    got = {r["lang"]: r for r in tokenizer_fertility(spark, sf_dir).collect()}
+    for lang, sub in d.groupby("lang"):
+        toks = sum(len(re.split(r"\s+", t.strip().lower())) for t in sub["text"])
+        chars = int(sub["n_chars"].sum())
+        r = got[lang]
+        assert r["n_docs"] == len(sub)
+        assert r["total_tokens"] == toks
+        assert r["total_chars"] == chars
+        assert abs(r["tokens_per_100_chars"] - round(toks * 100 / chars, 6)) < 1e-9

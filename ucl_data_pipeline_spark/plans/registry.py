@@ -86,14 +86,17 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-7 priority (the driver checks the first 50): (1) the eleven
-# NEW round-7 registrations — the end-to-end curation_pipeline
-# composite, the tuning-frontier family (ann_recall_frontier,
-# minhash_size_frontier, pack_budget_frontier,
-# contamination_gram_frontier), and the extras22 monitoring-statistics
+# Round-7 priority (the driver checks the first 50): (1) the
+# seventeen NEW round-7 registrations — the end-to-end
+# curation_pipeline composite, the tuning-frontier family
+# (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
+# contamination_gram_frontier, dedup_threshold_frontier,
+# watermark_lateness_frontier), the extras22 monitoring-statistics
 # batch (theil_sen_slope_daily, kendall_tau_via_grain,
 # benjamini_hochberg_promo, brown_forsythe_priority,
-# degree_assortativity_trade, page_hinkley_drift_daily);
+# degree_assortativity_trade, page_hinkley_drift_daily), the extras23
+# mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), and the
+# extras25 pair (logrank_survival_ab, tokenizer_fertility);
 # (2) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
@@ -132,6 +135,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7, batch 4 (extras24): dedup + watermark frontiers
     "dedup_threshold_frontier",
     "watermark_lateness_frontier",
+    # new in round 7, batch 5 (extras25): log-rank A/B + fertility
+    "logrank_survival_ab",
+    "tokenizer_fertility",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -149,9 +155,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "anti_join_no_orders",
     "dedup_first_wins",
     "sort_limit_topn",
-    "window_top2_per_key",
     "union_all_entities",
-    "intersect_nations",
     "except_nations",
     "haversine_travel",
     "name_regex_strip",
