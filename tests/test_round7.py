@@ -614,3 +614,82 @@ def test_tokenizer_fertility_matches_python_reference(spark, sf_dir):
         assert r["total_tokens"] == toks
         assert r["total_chars"] == chars
         assert abs(r["tokens_per_100_chars"] - round(toks * 100 / chars, 6)) < 1e-9
+
+
+def test_srm_gate_flags_biased_splitter(spark, sf_dir):
+    # The registered splitter must PASS its own gate on the fixture,
+    # and the chi2 must match a plain-Python recount; a deliberately
+    # biased assignment (70/20/10 observed vs 80/10/10 declared at
+    # n=500) would exceed the 2-df critical value — computed here
+    # directly to pin the flag threshold's meaning.
+    from ucl_data_pipeline_spark.plans.extras26 import _SRM_CRIT, srm_check_split
+
+    row = srm_check_split(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == row["n_train"] + row["n_val"] + row["n_test"]
+    n = row["n_docs"]
+    chi2 = (
+        (row["n_train"] - n * 0.8) ** 2 / (n * 0.8)
+        + (row["n_val"] - n * 0.1) ** 2 / (n * 0.1)
+        + (row["n_test"] - n * 0.1) ** 2 / (n * 0.1)
+    )
+    assert abs(row["srm_chi2"] - round(chi2, 6)) < 1e-6
+    assert row["srm_flag"] == (1 if chi2 > _SRM_CRIT else 0)
+    # a 70/20/10 split at n=500 yields chi2 = 62.5 >> crit: the gate
+    # has teeth at fixture scale
+    n = 500
+    biased = (
+        (0.7 * n - n * 0.8) ** 2 / (n * 0.8)
+        + (0.2 * n - n * 0.1) ** 2 / (n * 0.1)
+        + (0.1 * n - n * 0.1) ** 2 / (n * 0.1)
+    )
+    assert biased > _SRM_CRIT
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    import math
+    import re
+
+    import pandas as pd
+
+    from ucl_data_pipeline_spark.plans.extras26 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPN,
+        bm25_doc_ranking,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.strip().lower())
+        for r in d.itertuples()
+    }
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        term: sum(1 for t in toks.values() if term in t)
+        for term in _BM25_TERMS
+    }
+    scores = {}
+    for doc, t in toks.items():
+        s, matched = 0.0, 0
+        for term in _BM25_TERMS:
+            tf = t.count(term)
+            if tf:
+                matched += 1
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * (tf * (_BM25_K1 + 1)) / (
+                    tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl)
+                )
+        if matched:
+            scores[doc] = (round(s, 6), matched)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_BM25_TOPN]
+
+    got = sorted(bm25_doc_ranking(spark, sf_dir).collect(),
+                 key=lambda r: r["rank"])
+    assert len(got) == min(_BM25_TOPN, len(scores))
+    for r, (doc, (s, matched)) in zip(got, expect):
+        assert r["doc_id"] == doc
+        assert r["n_terms_matched"] == matched
+        assert abs(r["bm25_score"] - s) < 1e-6

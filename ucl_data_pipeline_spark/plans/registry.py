@@ -95,8 +95,9 @@ def register(
 # batch (theil_sen_slope_daily, kendall_tau_via_grain,
 # benjamini_hochberg_promo, brown_forsythe_priority,
 # degree_assortativity_trade, page_hinkley_drift_daily), the extras23
-# mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), and the
-# extras25 pair (logrank_survival_ab, tokenizer_fertility);
+# mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), the
+# extras25 pair (logrank_survival_ab, tokenizer_fertility), and the
+# extras26 pair (srm_check_split, bm25_doc_ranking) — nineteen total;
 # (2) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
@@ -138,6 +139,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7, batch 5 (extras25): log-rank A/B + fertility
     "logrank_survival_ab",
     "tokenizer_fertility",
+    # new in round 7, batch 6 (extras26): split SRM gate + BM25
+    "srm_check_split",
+    "bm25_doc_ranking",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -154,10 +158,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     # stalest green rows: round-1 vintage, unrefreshed since r1
     "anti_join_no_orders",
     "dedup_first_wins",
-    "sort_limit_topn",
     "union_all_entities",
     "except_nations",
-    "haversine_travel",
     "name_regex_strip",
     "date_parse_multi",
     "hybrid_two_seasons",
