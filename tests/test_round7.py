@@ -693,3 +693,40 @@ def test_bm25_matches_python_reference(spark, sf_dir):
         assert r["doc_id"] == doc
         assert r["n_terms_matched"] == matched
         assert abs(r["bm25_score"] - s) < 1e-6
+
+
+def test_adaptive_sign_bucket_agrees_with_fixed_at_8_bits(spark):
+    # The corpus-sized ladder resolves to 8 bits at fixture sizes; the
+    # adaptive fold must then agree bit-for-bit with the fixed
+    # sign_bucket — this is what keeps the changed dedup queries'
+    # driver results identical where the oracle checks them.
+    from ucl_data_pipeline_spark.functions import vector as VX
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", VX.as_double("embedding").alias("v"))
+    )
+    both = df.select(
+        VX.sign_bucket("v", 8).cast("long").alias("fixed"),
+        VX.adaptive_sign_bucket("v", F.lit(8)).alias("adaptive"),
+        VX.adaptive_sign_bucket("v", F.lit(12)).alias("wide"),
+    )
+    rows = both.collect()
+    assert rows
+    for r in rows:
+        assert r["fixed"] == r["adaptive"]
+        # widening only ADDS high bits: low 8 bits must be preserved
+        assert r["wide"] % 256 == r["adaptive"]
+
+
+def test_nbits_ladder_values(spark):
+    from ucl_data_pipeline_spark.functions import vector as VX
+
+    cases = [(1, 8), (4096, 8), (4097, 9), (8192, 9), (262144, 14),
+             (16 * 2**19, 19), (16 * 2**19 + 1, 20), (10**9, 20)]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "n long").select(
+        "n", VX.nbits_for_count(F.col("n")).alias("b")
+    )
+    got = {r["n"]: r["b"] for r in df.collect()}
+    for n, b in cases:
+        assert got[n] == b, (n, got[n], b)

@@ -40,6 +40,63 @@ def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+# --- corpus-sized LSH (see SCALE_NOTES "corpus-sized LSH fix") ---
+# A FIXED bucket space saturates quadratically once corpus/buckets
+# exceeds the target occupancy (measured: 191 s at ×100 corpus for an
+# 8-bit space). These helpers size the bucket width to the corpus:
+# smallest b ∈ [NBITS_MIN, NBITS_MAX] with 2^b ≥ n/NBITS_TARGET,
+# chosen by an exact INTEGER comparison ladder — never log2 of a
+# double, whose last-ulp behavior at exact powers of two could fork
+# the bucket count across engines. The SQL spellings mirror the
+# Column ones term-for-term; ``nbits`` must arrive as a PLAIN column
+# (DuckDB rejects subqueries inside lambda bodies).
+
+NBITS_MIN, NBITS_MAX, NBITS_TARGET = 8, 20, 16
+
+
+def nbits_for_count(n: Column) -> Column:
+    """Smallest b ∈ [8, 20] with 2^b ≥ n/16, by exact integer ladder."""
+    c = F.when(n <= NBITS_TARGET * 2**NBITS_MIN, NBITS_MIN)
+    for b in range(NBITS_MIN + 1, NBITS_MAX):
+        c = c.when(n <= NBITS_TARGET * 2**b, b)
+    return c.otherwise(F.lit(NBITS_MAX))
+
+
+def sql_nbits_for_count(n_expr: str) -> str:
+    clauses = " ".join(
+        f"WHEN {n_expr} <= {NBITS_TARGET * 2**b} THEN {b}"
+        for b in range(NBITS_MIN, NBITS_MAX)
+    )
+    return f"(CASE {clauses} ELSE {NBITS_MAX} END)"
+
+
+def adaptive_sign_bucket(vec: ColumnOrName, nbits: Column) -> Column:
+    """Sign bucket over the first ``nbits`` components with nbits a
+    COLUMN: fold Σ 2^i·[vecᵢ₊₁ > 0] over i < nbits. 2^i via pow-cast
+    (exact in double through 2^52); ≤ NBITS_MAX cheap lambda steps.
+    Agrees bit-for-bit with ``sign_bucket(vec, 8)`` when nbits = 8."""
+    v = as_double(vec)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(NBITS_MAX - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            (i < nbits) & (F.element_at(v, (i + 1).cast("int")) > 0),
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sql_adaptive_sign_bucket(e: str) -> str:
+    """DuckDB spelling of :func:`adaptive_sign_bucket`; references a
+    plain ``nbits`` column (CROSS JOIN the one-row nbits CTE in)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {NBITS_MAX}), i -> "
+        f"CASE WHEN i < nbits AND {e}[i + 1] > 0 "
+        f"THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    )
+
+
 def sign_bucket(vec: ColumnOrName, n_bits: int = 8) -> Column:
     """Deterministic LSH bucket: integer from the sign bits of the
     first ``n_bits`` components. A fixed-hyperplane random-projection

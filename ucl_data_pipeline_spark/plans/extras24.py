@@ -45,57 +45,10 @@ _MIX = (
     "i -> {e}[i] + {a} * {e}[(i % len({e})) + 1])"
 )
 
-# CORPUS-SIZED LSH: a fixed 8-bit sign bucket saturates quadratically —
-# at ×100 corpus the 256 buckets hold ~800 vectors each and the
-# candidate join degenerates toward all-pairs (measured 191 s at 100×
-# before this fix). The bucket width therefore GROWS with the corpus:
-# smallest b ∈ [8, 20] with 2^b ≥ n/16 (target ~16 vectors/bucket),
-# chosen by an exact INTEGER comparison ladder — never log2 of a
-# double, whose last-ulp behavior at exact powers of two differs
-# across engines and would fork the bucket count. At the driver
-# fixture (n ≤ 4096) this resolves to 8 bits — byte-identical buckets
-# to VX.sign_bucket — so the adaptive spelling and the fixed one agree
-# exactly where the oracle checks them.
-_NBITS_MIN, _NBITS_MAX, _NBITS_TARGET = 8, 20, 16
-
-
-def _sql_nbits(n_expr: str) -> str:
-    clauses = " ".join(
-        f"WHEN {n_expr} <= {_NBITS_TARGET * 2**b} THEN {b}"
-        for b in range(_NBITS_MIN, _NBITS_MAX)
-    )
-    return f"(CASE {clauses} ELSE {_NBITS_MAX} END)"
-
-
-def _nbits_col(n):
-    c = F.when(n <= _NBITS_TARGET * 2**_NBITS_MIN, _NBITS_MIN)
-    for b in range(_NBITS_MIN + 1, _NBITS_MAX):
-        c = c.when(n <= _NBITS_TARGET * 2**b, b)
-    return c.otherwise(F.lit(_NBITS_MAX))
-
-
-def _adaptive_bucket_col(emb, nbits):
-    """Sign bucket over the first ``nbits`` components, nbits a COLUMN:
-    fold Σ 2^i·[embᵢ₊₁ > 0] over i < nbits. 2^i via pow-cast (exact in
-    double through 2^52); ≤24 lambda steps of cheap arithmetic."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(_NBITS_MAX - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            (i < nbits) & (F.element_at(emb, (i + 1).cast("int")) > 0),
-            F.pow(F.lit(2.0), i).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-
-
-# nbits arrives as a plain column (CROSS JOIN of the one-row nb CTE) —
-# DuckDB rejects subqueries inside lambda bodies.
-_SQL_ADAPTIVE_BUCKET = (
-    "CAST(list_sum(list_transform(range(0, {top}), i -> "
-    "CASE WHEN i < nbits AND {e}[i + 1] > 0 "
-    "THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)"
-)
+# Corpus-sized LSH (helpers shared in functions/vector.py — see the
+# SCALE_NOTES "corpus-sized LSH fix" entry): bucket width grows with
+# the corpus so the candidate join never saturates; at driver-fixture
+# sizes the ladder resolves to 8 bits, bit-identical to sign_bucket.
 
 _DEDUP_FRONTIER_ORACLE = f"""
 WITH base AS (
@@ -114,11 +67,11 @@ e AS (
   FROM base WHERE vec_id % 10 = 6
 ),
 nb AS (
-  SELECT {_sql_nbits('COUNT(*)')} AS nbits FROM e
+  SELECT {VX.sql_nbits_for_count('COUNT(*)')} AS nbits FROM e
 ),
 b AS (
   SELECT vec_id, embedding,
-         {_SQL_ADAPTIVE_BUCKET.format(top=_NBITS_MAX, e='embedding')} AS bucket
+         {VX.sql_adaptive_sign_bucket('embedding')} AS bucket
   FROM e, nb
 ),
 cand AS (
@@ -199,11 +152,11 @@ def dedup_threshold_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(dup_class(3, 2_000_000, 0.45))
         .unionAll(dup_class(6, 3_000_000, 0.8))
     )
-    nb = e.agg(_nbits_col(F.count("*")).alias("nbits"))
+    nb = e.agg(VX.nbits_for_count(F.count("*")).alias("nbits"))
     b = e.crossJoin(F.broadcast(nb)).select(
         "vec_id",
         "embedding",
-        _adaptive_bucket_col(F.col("embedding"), F.col("nbits")).alias("bucket"),
+        VX.adaptive_sign_bucket("embedding", F.col("nbits")).alias("bucket"),
     )
     q = b.select(
         F.col("vec_id").alias("qid"),

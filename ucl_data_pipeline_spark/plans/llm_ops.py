@@ -957,9 +957,13 @@ WITH universe AS (
          label
   FROM embeddings WHERE vec_id % 10 = 0
 ),
+nbu AS (
+  SELECT {VX.sql_nbits_for_count('COUNT(*)')} AS nbits FROM universe
+),
 b AS (
-  SELECT vec_id, label, embedding, {_SQL_BUCKET.format(side='universe')} AS bucket
-  FROM universe
+  SELECT vec_id, label, embedding,
+         {VX.sql_adaptive_sign_bucket('embedding')} AS bucket
+  FROM universe, nbu
 ),
 dup AS (
   SELECT DISTINCT c.vec_id
@@ -1000,8 +1004,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     e = base.unionByName(copies)
-    with_bucket = e.select(
-        "vec_id", "embedding", VX.sign_bucket("embedding", 8).alias("bucket")
+    # Corpus-sized bucket width (functions/vector.py ladder; resolves
+    # to 8 bits at driver-fixture sizes — results unchanged there, and
+    # the candidate join no longer saturates at 100× corpus).
+    nb = e.agg(VX.nbits_for_count(F.count("*")).alias("nbits"))
+    with_bucket = e.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "embedding",
+        VX.adaptive_sign_bucket("embedding", F.col("nbits")).alias("bucket"),
     )
     q = with_bucket.select(
         F.col("vec_id").alias("q_id"),

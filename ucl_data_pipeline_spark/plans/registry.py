@@ -142,6 +142,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7, batch 6 (extras26): split SRM gate + BM25
     "srm_check_split",
     "bm25_doc_ranking",
+    # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
+    # saturation fix) — must be re-driver-checked while changed
+    "dedup_embedding_cosine",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -157,7 +160,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "powerlaw_alpha_user_activity",
     # stalest green rows: round-1 vintage, unrefreshed since r1
     "anti_join_no_orders",
-    "dedup_first_wins",
     "union_all_entities",
     "except_nations",
     "name_regex_strip",
