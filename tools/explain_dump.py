@@ -150,6 +150,10 @@ SHOWCASE = [
     ("kendall_tau_via_grain", "tau-b with zero row pairs: one fact "
      "hash-agg to contingency cells, concordance from the broadcast "
      "cell-by-cell join"),
+    ("dedup_threshold_frontier", "corpus-sized LSH: bucket width from "
+     "an exact integer ladder over the corpus count (broadcast one-row "
+     "nbits), candidate join keyed on the adaptive bucket — the 100x "
+     "saturation fix; thresholds are filters over one pair pass"),
 ]
 
 

@@ -98,24 +98,29 @@ def register(
 # mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), the
 # extras25 pair (logrank_survival_ab, tokenizer_fertility), and the
 # extras26 pair (srm_check_split, bm25_doc_ranking) — nineteen total;
-# (2) the twelve end-of-round-6
+# (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
+# bucket ladder — the ×100 saturation fix), re-checked while changed;
+# (3) the twelve end-of-round-6
 # extras19/extras20 registrations that have never had a driver
 # CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
 # segment_drift_decomposition, dedup_minhash_pr, ngram_novelty_rate,
 # dictionary_encoding_planner, runs_test_daily_revenue,
 # mann_kendall_trend, changepoint_single_split, subsample_mean_ci_hash,
 # histogram_strategy_compare, powerlaw_alpha_user_activity — all
-# re-verified oracle-exact locally; a green row for these closes
-# cumulative driver coverage to 275/275); (3) the stalest green rows —
-# the round-1/round-2-vintage queries whose only driver evidence is
-# five rounds old, refreshed so no green row ages past ~5 rounds.
+# re-verified oracle-exact locally; a green row for these closes every
+# pre-round-7 registration's driver coverage); (4) the stalest green
+# rows — round-1-vintage queries whose only driver evidence is six
+# rounds old, refreshed so no green row ages past ~5 rounds.
 # ngram_novelty_rate and dedup_minhash_pr additionally changed this
 # round (shingle shuffle re-keyed to xxhash64 digests), so their
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
-# (cumulative 263/275 pre-round-7, 262 exact on latest check) and
-# stays locally verified by tools/verify_local.py / the parametrized
-# pytest oracle suite.
+# (cumulative 263 driver-checked pre-round-7 of the 275 then
+# registered; the registry now holds 294 with 19 new + 1 changed in
+# the round-7 prefix) and stays locally verified by
+# tools/verify_local.py / the parametrized pytest oracle suite —
+# 293/294 oracle-exact in both ANSI modes this session, 1 rows-only
+# by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
     "curation_pipeline",
