@@ -730,3 +730,74 @@ def test_nbits_ladder_values(spark):
     got = {r["n"]: r["b"] for r in df.collect()}
     for n, b in cases:
         assert got[n] == b, (n, got[n], b)
+
+
+def test_source_overlap_matrix_shape(spark, sf_dir):
+    """Every unordered source pair appears exactly once; the estimate
+    is n_agree/16 by construction and bounded in [0, 1]."""
+    from ucl_data_pipeline_spark.plans.extras27 import (
+        _N_PERM,
+        source_minhash_overlap,
+    )
+
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    rows = source_minhash_overlap(spark, sf_dir).collect()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_agree"] <= _N_PERM
+        assert abs(r["jaccard_est"] - r["n_agree"] / _N_PERM) < 1e-9
+
+
+def test_source_signature_min_of_mins_identity(spark):
+    """The aggregation trick the operator rests on: min over docs of
+    per-doc MinHash == MinHash of the union of the docs' shingle sets
+    (min-of-mins = min over union). Verified per permutation on a
+    synthetic corpus, including a source whose doc set is duplicated
+    under another name (must agree on every permutation)."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("a", "pack my box with five dozen liquor jugs"),
+            ("c", "the quick brown fox jumps over the lazy dog"),
+            ("c", "pack my box with five dozen liquor jugs"),
+            ("b", "sphinx of black quartz judge my vow today"),
+        ],
+        "source string, text string",
+    )
+    feats = docs.select(
+        "source", F.array_distinct(TX.shingles(TX.tokens("text"))).alias("f")
+    )
+    n_perm = 4
+    agg = (
+        feats.select(
+            "source", *[TX.minhash(F.col("f"), s).alias(f"m{s}") for s in range(n_perm)]
+        )
+        .groupBy("source")
+        .agg(*[F.min(f"m{s}").alias(f"m{s}") for s in range(n_perm)])
+    )
+    union = (
+        feats.select("source", F.explode("f").alias("g"))
+        .groupBy("source")
+        .agg(F.collect_set("g").alias("f"))
+        .select(
+            "source", *[TX.minhash(F.col("f"), s).alias(f"u{s}") for s in range(n_perm)]
+        )
+    )
+    j = {r["source"]: r for r in agg.join(union, "source").collect()}
+    assert set(j) == {"a", "b", "c"}
+    for src, r in j.items():
+        for s in range(n_perm):
+            assert r[f"m{s}"] == r[f"u{s}"], (src, s)
+    for s in range(n_perm):
+        assert j["a"][f"m{s}"] == j["c"][f"m{s}"]
+        assert j["a"][f"m{s}"] != j["b"][f"m{s}"]

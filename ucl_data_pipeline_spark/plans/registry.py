@@ -147,6 +147,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7, batch 6 (extras26): split SRM gate + BM25
     "srm_check_split",
     "bm25_doc_ranking",
+    # new in round 7, batch 7 (extras27): source-overlap matrix
+    "source_minhash_overlap",
     # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
     # saturation fix) — must be re-driver-checked while changed
     "dedup_embedding_cosine",
@@ -181,8 +183,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lead_and_share_of_total",
     "conditional_agg",
     "zscore_by_group",
-    "rank_function_surface",
-    # (dedup_exact, dedup_exact_normalized, doc_fingerprint,
+    # (rank_function_surface yielded its slot to source_minhash_overlap,
+    # which must be driver-checked while new; it rejoins the stale
+    # rotation next round along with
+    # dedup_exact, dedup_exact_normalized, doc_fingerprint,
     # minhash_signatures, dedup_minhash_lsh, text_token_stats,
     # bpe_token_count, text_quality_score, lang_id_heuristic,
     # embedding_topk_cosine and the remaining r1 vintage rotate in next
