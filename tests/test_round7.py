@@ -801,3 +801,21 @@ def test_source_signature_min_of_mins_identity(spark):
     for s in range(n_perm):
         assert j["a"][f"m{s}"] == j["c"][f"m{s}"]
         assert j["a"][f"m{s}"] != j["b"][f"m{s}"]
+
+
+def test_source_overlap_plan_shape(spark, sf_dir):
+    """PLANS.md property: doc->source collapse happens via map-side
+    partial_min combine (shuffle bytes independent of corpus size) and
+    the pairwise stage is a broadcast join over the aggregated table —
+    never a cartesian doc-pair stage."""
+    from ucl_data_pipeline_spark.plans.extras27 import source_minhash_overlap
+
+    df = source_minhash_overlap(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -154,6 +154,10 @@ SHOWCASE = [
      "an exact integer ladder over the corpus count (broadcast one-row "
      "nbits), candidate join keyed on the adaptive bucket — the 100x "
      "saturation fix; thresholds are filters over one pair pass"),
+    ("source_minhash_overlap", "corpus-level overlap with NO doc-pair "
+     "stage: per-doc minhashes collapse doc->source via partial_min "
+     "map-side combine (min-of-mins = union signature); the pairwise "
+     "join runs on the persisted |sources|-row table only"),
 ]
 
 
