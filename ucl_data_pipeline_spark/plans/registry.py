@@ -87,7 +87,7 @@ def register(
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
 # Round-7 priority (the driver checks the first 50): (1) the
-# seventeen NEW round-7 registrations — the end-to-end
+# twenty NEW round-7 registrations — the end-to-end
 # curation_pipeline composite, the tuning-frontier family
 # (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier, dedup_threshold_frontier,
@@ -96,8 +96,9 @@ def register(
 # benjamini_hochberg_promo, brown_forsythe_priority,
 # degree_assortativity_trade, page_hinkley_drift_daily), the extras23
 # mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), the
-# extras25 pair (logrank_survival_ab, tokenizer_fertility), and the
-# extras26 pair (srm_check_split, bm25_doc_ranking) — nineteen total;
+# extras25 pair (logrank_survival_ab, tokenizer_fertility), the
+# extras26 pair (srm_check_split, bm25_doc_ranking), and the extras27
+# source-overlap matrix (source_minhash_overlap) — twenty total;
 # (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
 # bucket ladder — the ×100 saturation fix), re-checked while changed;
 # (3) the twelve end-of-round-6
@@ -116,10 +117,10 @@ def register(
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
 # (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 294 with 19 new + 1 changed in
+# registered; the registry now holds 295 with 20 new + 1 changed in
 # the round-7 prefix) and stays locally verified by
 # tools/verify_local.py / the parametrized pytest oracle suite —
-# 293/294 oracle-exact in both ANSI modes this session, 1 rows-only
+# 294/295 oracle-exact in both ANSI modes this session, 1 rows-only
 # by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
