@@ -819,3 +819,58 @@ def test_source_overlap_plan_shape(spark, sf_dir):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_join_cardinality_audit_semantics(spark, sf_dir):
+    """On the five FK edges the PK side is unique and FK integrity
+    holds, so the System-R estimate is provably exact: est_rows ==
+    actual_rows == n_right and q_error == 1.0 — the audit doubles as
+    an FK-integrity check. The many-to-many nationkey edge is where
+    uniform-frequency meets skew: q_error must exceed 1 there iff the
+    per-nation count products deviate from uniform. q_error >= 1 is a
+    mathematical invariant (max(r, 1/r))."""
+    from ucl_data_pipeline_spark.plans.extras28 import (
+        _FK_JOINS,
+        join_cardinality_audit,
+    )
+
+    rows = {r["join_name"]: r for r in join_cardinality_audit(spark, sf_dir).collect()}
+    assert set(rows) == {name for name, *_ in _FK_JOINS}
+    for name, r in rows.items():
+        assert r["q_error"] >= 1.0, (name, r["q_error"])
+        # estimate recomputed from the row's own stats
+        est = r["n_left"] * r["n_right"] / max(r["ndv_left"], r["ndv_right"])
+        assert abs(r["est_rows"] - round(est, 6)) < 1e-9, name
+    for name in (
+        "customer_orders",
+        "orders_lineitem",
+        "part_lineitem",
+        "supplier_lineitem",
+        "nation_customer",
+    ):
+        r = rows[name]
+        assert r["actual_rows"] == r["n_right"], name
+        assert r["q_error"] == 1.0, name
+    # the m2m edge: actual computed independently at row level on the
+    # tiny fixture (the one place the test MAY afford the real join)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    true_m2m = c.join(s, c.c_nationkey == s.s_nationkey).count()
+    assert rows["cust_supp_nation_m2m"]["actual_rows"] == true_m2m
+
+
+def test_join_cardinality_audit_plan_shape(spark, sf_dir):
+    """PLANS.md property: every side collapses to key grain with a
+    map-side partial_count combine BEFORE any join; the only
+    non-equi-join stages are the broadcast singleton cross-joins. No
+    CartesianProduct, no row-level join of the base tables."""
+    from ucl_data_pipeline_spark.plans.extras28 import join_cardinality_audit
+
+    df = join_cardinality_audit(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

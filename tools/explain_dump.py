@@ -158,6 +158,10 @@ SHOWCASE = [
      "stage: per-doc minhashes collapse doc->source via partial_min "
      "map-side combine (min-of-mins = union signature); the pairwise "
      "join runs on the persisted |sources|-row table only"),
+    ("join_cardinality_audit", "CBO q-error audit: exact join "
+     "cardinality as SUM(cl*cr) over the key-grain equi-join — truth "
+     "at NDV-join cost, the row-level join never built; each side "
+     "collapses via partial_count map-side combine before any join"),
 ]
 
 
