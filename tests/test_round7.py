@@ -874,3 +874,67 @@ def test_join_cardinality_audit_plan_shape(spark, sf_dir):
     )
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_skew_advisor_semantics(spark, sf_dir):
+    """Invariants: skew_factor >= 1 (max >= mean always), top_share in
+    (0, 1], mean_cnt recomputes from the row's own integers, and the
+    events.user_id profile matches an independently-spelled pandas
+    computation (value_counts on the tiny fixture)."""
+    from ucl_data_pipeline_spark.plans.extras29 import (
+        _SKEW_KEYS,
+        join_skew_advisor,
+    )
+
+    rows = {r["key_col"]: r for r in join_skew_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {label for label, *_ in _SKEW_KEYS}
+    for label, r in rows.items():
+        assert r["skew_factor"] >= 1.0, label
+        assert 0.0 < r["top_share"] <= 1.0, label
+        assert abs(r["mean_cnt"] - round(r["n_rows"] / r["ndv"], 6)) < 1e-9
+        assert r["max_cnt"] * r["ndv"] >= r["n_rows"], label
+        assert r["salt_buckets"] == -(-r["max_cnt"] // 100_000), label
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .toPandas()["user_id"]
+        .value_counts()
+    )
+    r = rows["events.user_id"]
+    assert r["n_rows"] == int(ev.sum())
+    assert r["ndv"] == len(ev)
+    assert r["max_cnt"] == int(ev.max())
+    # top_key: SMALLEST key among maximal counts
+    assert r["top_key"] == int(min(k for k, c in ev.items() if c == ev.max()))
+
+
+def test_join_skew_advisor_salt_ceil_boundary(spark):
+    """The salt prescription is integer ceil-division — exact on the
+    100k boundary where a float spelling could fork cross-engine."""
+    df = spark.createDataFrame(
+        [(1,), (99_999,), (100_000,), (100_001,), (200_000,), (200_001,)],
+        "max_cnt long",
+    ).select(
+        "max_cnt",
+        F.expr("(max_cnt + 99999) div 100000").alias("s"),
+    )
+    got = {r["max_cnt"]: r["s"] for r in df.collect()}
+    assert got == {1: 1, 99_999: 1, 100_000: 1, 100_001: 2, 200_000: 2, 200_001: 3}
+
+
+def test_join_skew_advisor_plan_shape(spark, sf_dir):
+    """PLANS.md property: each key profile is ONE pass over the fact
+    rows — grain hash-agg with map-side partial_count; the argmax and
+    advisory math run on the NDV-grain table via broadcast singletons.
+    No CartesianProduct, no sort, no row-level self-join."""
+    from ucl_data_pipeline_spark.plans.extras29 import join_skew_advisor
+
+    df = join_skew_advisor(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan

@@ -162,6 +162,10 @@ SHOWCASE = [
      "cardinality as SUM(cl*cr) over the key-grain equi-join — truth "
      "at NDV-join cost, the row-level join never built; each side "
      "collapses via partial_count map-side combine before any join"),
+    ("join_skew_advisor", "shuffle-skew profile in ONE pass per fact "
+     "key: grain hash-agg with partial_count combine (shuffle "
+     "NDV-bounded), argmax + salt prescription on the grain table "
+     "via broadcast singletons — no sort, no row-level join"),
 ]
 
 

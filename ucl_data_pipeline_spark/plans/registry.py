@@ -87,7 +87,7 @@ def register(
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
 # Round-7 priority (the driver checks the first 50): (1) the
-# twenty-one NEW round-7 registrations — the end-to-end
+# twenty-two NEW round-7 registrations — the end-to-end
 # curation_pipeline composite, the tuning-frontier family
 # (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier, dedup_threshold_frontier,
@@ -99,8 +99,8 @@ def register(
 # extras25 pair (logrank_survival_ab, tokenizer_fertility), the
 # extras26 pair (srm_check_split, bm25_doc_ranking), the extras27
 # source-overlap matrix (source_minhash_overlap), and the extras28
-# CBO join-cardinality audit (join_cardinality_audit) — twenty-one
-# total;
+# CBO join-cardinality audit and its extras29 companion
+# join_skew_advisor — twenty-two total;
 # (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
 # bucket ladder — the ×100 saturation fix), re-checked while changed;
 # (3) the twelve end-of-round-6
@@ -119,10 +119,10 @@ def register(
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
 # (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 296 with 21 new + 1 changed in
+# registered; the registry now holds 297 with 22 new + 1 changed in
 # the round-7 prefix) and stays locally verified by
 # tools/verify_local.py / the parametrized pytest oracle suite —
-# 295/296 oracle-exact in both ANSI modes this session, 1 rows-only
+# 296/297 oracle-exact in both ANSI modes this session, 1 rows-only
 # by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
@@ -154,6 +154,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "source_minhash_overlap",
     # new in round 7, batch 8 (extras28): CBO join-cardinality audit
     "join_cardinality_audit",
+    # new in round 7, batch 9 (extras29): shuffle-skew advisor
+    "join_skew_advisor",
     # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
     # saturation fix) — must be re-driver-checked while changed
     "dedup_embedding_cosine",
