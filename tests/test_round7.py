@@ -938,3 +938,168 @@ def test_join_skew_advisor_plan_shape(spark, sf_dir):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "Sort " not in plan
+
+
+def test_doc_lm_cross_entropy_semantics(spark, sf_dir):
+    """Model checks against an independent pure-Python reference on a
+    synthetic corpus written to a temp dir: a doc that repeats the
+    corpus's dominant token scores LOW cross-entropy; a doc of
+    corpus-rare tokens scores HIGH — even though the rare-token doc
+    ALSO has high self-entropy while the dominant-token doc's is zero
+    (the signal unigram_entropy cannot give). Values match the
+    reference formula to the 6dp rounding contract."""
+    import math
+    import tempfile
+
+    from ucl_data_pipeline_spark.plans.extras30 import doc_lm_cross_entropy
+
+    docs = [
+        ("d1", "common common common common common common"),
+        ("d2", "rare1 rare2 rare3 rare4 rare5 rare6"),
+        ("d3", "common rare1 common common rare2 common"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "s") for i, t in docs], "doc_id string, text string, source string"
+        ).write.parquet(f"{td}/documents.parquet")
+        rows = {
+            r["doc_id"]: r
+            for r in doc_lm_cross_entropy(spark, td).collect()
+        }
+    # python reference
+    from collections import Counter
+
+    corpus = Counter(tok for _, t in docs for tok in t.split())
+    n_corpus = sum(corpus.values())
+    for doc_id, t in docs:
+        toks = Counter(t.split())
+        n = sum(toks.values())
+        s = sum(
+            round(c * math.log2(n_corpus / corpus[w]), 6)
+            for w, c in toks.items()
+        )
+        r = rows[doc_id]
+        assert r["n_tokens"] == n
+        assert abs(r["cross_entropy_bits"] - round(s / n, 6)) < 1e-6, doc_id
+    assert rows["d1"]["cross_entropy_bits"] < rows["d3"]["cross_entropy_bits"]
+    assert rows["d3"]["cross_entropy_bits"] < rows["d2"]["cross_entropy_bits"]
+    for r in rows.values():
+        assert abs(
+            r["perplexity"] - round(2.0 ** r["cross_entropy_bits"], 6)
+        ) < 1e-6
+
+
+def test_doc_lm_cross_entropy_plan_shape(spark, sf_dir):
+    """PLANS.md property: the corpus LM is a RE-aggregation of the
+    persisted (doc, token)-grain table — one corpus explode total;
+    every shuffle is a grain hash-agg with map-side partial combine;
+    the total-token scalar joins as a broadcast singleton. No
+    CartesianProduct."""
+    from ucl_data_pipeline_spark.plans.extras30 import doc_lm_cross_entropy
+
+    df = doc_lm_cross_entropy(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # grain table reused, not re-scanned
+
+
+def test_kmv_sketch_python_reference(spark, sf_dir):
+    """The whole sketch is cross-engine-defined by the hash spelling,
+    so a THIRD engine (pure Python hashlib) must reproduce it too:
+    exact NDV, the k-th minimum 48-bit hash, the estimate, and the
+    rel_error for orders.o_custkey — computed independently from the
+    parquet file."""
+    import hashlib
+
+    from ucl_data_pipeline_spark.plans.extras31 import (
+        _AUDIT_COLS,
+        _EST_NUM,
+        _K,
+        ndv_kmv_sketch_error,
+    )
+
+    rows = {r["col_name"]: r for r in ndv_kmv_sketch_error(spark, sf_dir).collect()}
+    assert set(rows) == {label for label, *_ in _AUDIT_COLS}
+    tag = [i for i, (label, *_ ) in enumerate(_AUDIT_COLS)
+           if label == "orders.o_custkey"][0]
+    vals = set(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").toPandas()["o_custkey"].dropna()
+    )
+    hs = sorted(
+        {int(hashlib.md5(f"{tag}:{v}".encode()).hexdigest()[:12], 16) for v in vals}
+    )
+    r = rows["orders.o_custkey"]
+    assert r["exact_ndv"] == len(hs)
+    if len(hs) >= _K:
+        kth = hs[_K - 1]
+        est = _EST_NUM / kth
+    else:
+        kth = hs[-1]
+        est = float(len(hs))
+    assert r["kth_min_hash"] == kth
+    assert abs(r["ndv_est"] - round(est, 6)) < 1e-9
+    assert abs(
+        r["rel_error"] - round((est - len(hs)) / len(hs), 6)
+    ) < 1e-9
+    # estimator sanity across all columns: KMV at k=64 concentrates
+    # within ~4 sigma of 1/sqrt(62)
+    for label, r in rows.items():
+        assert abs(r["rel_error"]) < 0.55, (label, r["rel_error"])
+
+
+def test_kmv_small_cardinality_branch(spark):
+    """Fewer than k distinct values -> the sketch IS the exact set and
+    the estimator must return the exact count with zero error."""
+    import tempfile
+
+    from ucl_data_pipeline_spark.plans.extras31 import _kmv_one
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i % 10,) for i in range(1000)], "o_custkey long"
+        ).write.parquet(f"{td}/orders.parquet")
+        r = _kmv_one(spark, td, 2, "orders.o_custkey", "orders", "o_custkey").collect()[0]
+    assert r["exact_ndv"] == 10
+    assert r["ndv_est"] == 10.0
+    assert r["rel_error"] == 0.0
+
+
+def test_kmv_plan_shape(spark, sf_dir):
+    """PLANS.md property: the bottom-k is TakeOrderedAndProject over
+    the NDV-grain distinct-hash table (per-partition top-k + k-row
+    merge), never a global sort exchange; no CartesianProduct."""
+    from ucl_data_pipeline_spark.plans.extras31 import ndv_kmv_sketch_error
+
+    df = ndv_kmv_sketch_error(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_pairs_no_join_plan(spark, sf_dir):
+    """The round-7 rewrite's contract: pair generation is scan-side
+    array math after ONE order-grain hash-agg — there is NO join
+    operator left to mis-size (the old basket self-join's fact-sized
+    build side was getting auto-broadcast). partial_ aggregation
+    (map-side combine) must appear for the collect_set stage."""
+    from ucl_data_pipeline_spark.plans.extras3 import copurchase_pairs
+
+    df = copurchase_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower()

@@ -166,6 +166,14 @@ SHOWCASE = [
      "key: grain hash-agg with partial_count combine (shuffle "
      "NDV-bounded), argmax + salt prescription on the grain table "
      "via broadcast singletons — no sort, no row-level join"),
+    ("doc_lm_cross_entropy", "corpus-LM scoring with ONE corpus "
+     "explode: the vocab LM re-aggregates the persisted (doc, token) "
+     "grain table (InMemoryTableScan on both branches); total-token "
+     "scalar broadcast; every shuffle grain-bounded"),
+    ("ndv_kmv_sketch_error", "cross-engine-exact NDV sketch: "
+     "distinct-hash hash-agg (shuffle NDV-bounded) then "
+     "TakeOrderedAndProject bottom-k — per-partition top-k + k-row "
+     "merge, no global sort exchange"),
 ]
 
 

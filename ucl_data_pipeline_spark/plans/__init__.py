@@ -50,6 +50,8 @@ from ucl_data_pipeline_spark.plans import extras26  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras27  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras28  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras29  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras30  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras31  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls

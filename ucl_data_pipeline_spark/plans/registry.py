@@ -87,7 +87,7 @@ def register(
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
 # Round-7 priority (the driver checks the first 50): (1) the
-# twenty-two NEW round-7 registrations — the end-to-end
+# twenty-four NEW round-7 registrations — the end-to-end
 # curation_pipeline composite, the tuning-frontier family
 # (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier, dedup_threshold_frontier,
@@ -98,9 +98,11 @@ def register(
 # mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), the
 # extras25 pair (logrank_survival_ab, tokenizer_fertility), the
 # extras26 pair (srm_check_split, bm25_doc_ranking), the extras27
-# source-overlap matrix (source_minhash_overlap), and the extras28
-# CBO join-cardinality audit and its extras29 companion
-# join_skew_advisor — twenty-two total;
+# source-overlap matrix (source_minhash_overlap), the extras28
+# CBO join-cardinality audit, its extras29 companion
+# join_skew_advisor, the extras30 corpus-LM perplexity filter
+# (doc_lm_cross_entropy), and the extras31 KMV distinct-count
+# sketch audit (ndv_kmv_sketch_error) — twenty-four total;
 # (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
 # bucket ladder — the ×100 saturation fix), re-checked while changed;
 # (3) the twelve end-of-round-6
@@ -119,10 +121,10 @@ def register(
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
 # (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 297 with 22 new + 1 changed in
+# registered; the registry now holds 299 with 24 new + 2 changed in
 # the round-7 prefix) and stays locally verified by
 # tools/verify_local.py / the parametrized pytest oracle suite —
-# 296/297 oracle-exact in both ANSI modes this session, 1 rows-only
+# 298/299 oracle-exact in both ANSI modes this session, 1 rows-only
 # by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
@@ -156,9 +158,17 @@ EXPORT_FIRST: tuple[str, ...] = (
     "join_cardinality_audit",
     # new in round 7, batch 9 (extras29): shuffle-skew advisor
     "join_skew_advisor",
+    # new in round 7, batch 10 (extras30): corpus-LM perplexity filter
+    "doc_lm_cross_entropy",
+    # new in round 7, batch 11 (extras31): KMV distinct-count sketch
+    "ndv_kmv_sketch_error",
     # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
     # saturation fix) — must be re-driver-checked while changed
     "dedup_embedding_cosine",
+    # CHANGED in round 7: basket self-join (AQE was broadcasting a
+    # fact-sized build side) replaced by scan-side array pairing —
+    # re-driver-checked while changed
+    "copurchase_pairs",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
