@@ -1103,3 +1103,46 @@ def test_copurchase_pairs_no_join_plan(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower()
+
+
+def test_kmv_merge_parity_gate(spark, sf_dir):
+    """The mergeability theorem, checked end-to-end: the bottom-k of
+    the union of per-source bottom-k sketches equals the direct
+    global bottom-k — same k-th minimum, same sketch size, gate true.
+    Per-source rows carry a NULL gate; row count = |sources| + 2."""
+    from ucl_data_pipeline_spark.plans.extras32 import kmv_merge_parity
+
+    rows = kmv_merge_parity(spark, sf_dir).collect()
+    by_scope = {r["scope"]: r for r in rows}
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source").distinct().count()
+    )
+    assert len(rows) == n_src + 2
+    m, d = by_scope["__merged__"], by_scope["__direct__"]
+    assert m["est_matches_direct"] is True
+    assert m["kth_min_hash"] == d["kth_min_hash"]
+    assert m["n_sketch"] == d["n_sketch"]
+    assert m["ndv_est"] == d["ndv_est"]
+    for scope, r in by_scope.items():
+        if scope not in ("__merged__", "__direct__"):
+            assert r["est_matches_direct"] is None
+            # a per-source sketch can never see MORE hashes than k
+            assert r["n_sketch"] <= 64
+
+
+def test_kmv_merge_parity_plan_shape(spark, sf_dir):
+    """PLANS.md property: per-source bottom-k via a window sort
+    WITHIN source partitions; the merged bottom-k is a TakeOrdered
+    over the sketch-sized pool (k x |sources| rows max). No
+    CartesianProduct."""
+    from ucl_data_pipeline_spark.plans.extras32 import kmv_merge_parity
+
+    df = kmv_merge_parity(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -174,6 +174,10 @@ SHOWCASE = [
      "distinct-hash hash-agg (shuffle NDV-bounded) then "
      "TakeOrderedAndProject bottom-k — per-partition top-k + k-row "
      "merge, no global sort exchange"),
+    ("kmv_merge_parity", "sketch mergeability as a plan: per-source "
+     "bottom-k via window sort WITHIN source partitions; the merge "
+     "is a TakeOrdered over the k x |sources| sketch pool — the "
+     "reduce-tree step a cluster NDV service runs"),
 ]
 
 

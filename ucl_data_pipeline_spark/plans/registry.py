@@ -87,7 +87,7 @@ def register(
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
 # Round-7 priority (the driver checks the first 50): (1) the
-# twenty-four NEW round-7 registrations — the end-to-end
+# twenty-five NEW round-7 registrations — the end-to-end
 # curation_pipeline composite, the tuning-frontier family
 # (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier, dedup_threshold_frontier,
@@ -101,8 +101,9 @@ def register(
 # source-overlap matrix (source_minhash_overlap), the extras28
 # CBO join-cardinality audit, its extras29 companion
 # join_skew_advisor, the extras30 corpus-LM perplexity filter
-# (doc_lm_cross_entropy), and the extras31 KMV distinct-count
-# sketch audit (ndv_kmv_sketch_error) — twenty-four total;
+# (doc_lm_cross_entropy), and the extras31/extras32 KMV sketch
+# pair (ndv_kmv_sketch_error, kmv_merge_parity) — twenty-five
+# total;
 # (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
 # bucket ladder — the ×100 saturation fix), re-checked while changed;
 # (3) the twelve end-of-round-6
@@ -121,10 +122,10 @@ def register(
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
 # (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 299 with 24 new + 2 changed in
+# registered; the registry now holds 300 with 25 new + 2 changed in
 # the round-7 prefix) and stays locally verified by
 # tools/verify_local.py / the parametrized pytest oracle suite —
-# 298/299 oracle-exact in both ANSI modes this session, 1 rows-only
+# 299/300 oracle-exact in both ANSI modes this session, 1 rows-only
 # by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
@@ -160,6 +161,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "join_skew_advisor",
     # new in round 7, batch 10 (extras30): corpus-LM perplexity filter
     "doc_lm_cross_entropy",
+    # new in round 7, batch 12 (extras32): KMV union-merge parity gate
+    "kmv_merge_parity",
     # new in round 7, batch 11 (extras31): KMV distinct-count sketch
     "ndv_kmv_sketch_error",
     # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
@@ -194,21 +197,16 @@ EXPORT_FIRST: tuple[str, ...] = (
     "rollup_region_nation",
     "cube_status_priority",
     "grouping_sets_status_priority",
-    "rest_days_lag",
-    "moving_avg_frame",
-    "rank_customers_by_balance",
-    "lead_and_share_of_total",
-    "conditional_agg",
-    "zscore_by_group",
     # (rank_function_surface yielded its slot to source_minhash_overlap,
-    # which must be driver-checked while new; it rejoins the stale
-    # rotation next round along with
+    # and rest_days_lag, moving_avg_frame, rank_customers_by_balance,
+    # lead_and_share_of_total, conditional_agg, zscore_by_group yielded
+    # theirs to the extras28-32 batches + the copurchase_pairs rewrite —
+    # new/changed queries must be driver-checked while new. All of them
+    # rejoin the stale rotation next round along with
     # dedup_exact, dedup_exact_normalized, doc_fingerprint,
     # minhash_signatures, dedup_minhash_lsh, text_token_stats,
     # bpe_token_count, text_quality_score, lang_id_heuristic,
-    # embedding_topk_cosine and the remaining r1 vintage rotate in next
-    # round — displaced by the extras22/23/24 batches, which must be
-    # driver-checked while new.)
+    # embedding_topk_cosine and the remaining r1 vintage.)
 )
 
 
