@@ -89,6 +89,18 @@ HISTORY_DEPTH = 5
 # flaggable territory).
 MIN_FLAG_SECONDS = 0.5
 
+# Calibration-relative floor (r7, second iteration): the absolute
+# floor still let cohort_retention "confirm" at 0.55 s in-suite while
+# re-measuring at 0.47 s in a fresh session — queries within a few
+# multiples of the calibration query's own runtime are dominated by
+# scheduler/stage overhead (~50 ms/stage × a handful of stages), not
+# by their plan, and their norm wobbles 2x between identical runs. A
+# query whose CURRENT norm is below this multiple of calibration is
+# never flagged; a real plan regression on such a query would push it
+# past the floor anyway (ngram_novelty_rate flagged at norm 30,
+# copurchase_pairs at 5). Machine-independent because norm already is.
+MIN_FLAG_NORM = 2.5
+
 # Queries whose cost is priced separately from the headline mean:
 # "baseline" = deliberately-unoptimized exact reference implementations
 # that exist only to grade ANN variants; "iterative" = multi-job
@@ -116,8 +128,9 @@ def _flag_and_update_history(
     `norms` maps query → t_query / t_calib for this run. A query is
     flagged when its current norm exceeds REGRESSION_RATIO × the
     MEDIAN of its stored last-HISTORY_DEPTH norms AND its raw best
-    seconds (from `raw`) is at least MIN_FLAG_SECONDS; the current
-    norm is then appended (oldest dropped). `reseeded` is True when
+    seconds (from `raw`) is at least MIN_FLAG_SECONDS AND its current
+    norm is at least MIN_FLAG_NORM (the calibration-relative noise
+    floor); the current norm is then appended (oldest dropped). `reseeded` is True when
     the stored epoch was absent/foreign and the history was
     re-initialized from this run (no flags reported — nothing
     comparable to flag against).
@@ -135,7 +148,12 @@ def _flag_and_update_history(
         # queries would be judged against whatever session they
         # happened to land in first.
         raw_sec = (raw or {}).get(name, float("inf"))
-        if not reseeded and len(prior) >= 3 and raw_sec >= MIN_FLAG_SECONDS:
+        if (
+            not reseeded
+            and len(prior) >= 3
+            and raw_sec >= MIN_FLAG_SECONDS
+            and r >= MIN_FLAG_NORM
+        ):
             ref = statistics.median(prior)
             if ref > 0 and r > REGRESSION_RATIO * ref:
                 regressions.append(
@@ -210,12 +228,14 @@ def _confirm_regressions(
         ref = statistics.median(base)
         recheck = t / calib
         store[r["query"]] = (prior + [round(recheck, 4)])[-HISTORY_DEPTH:]
-        # Same absolute floor as the initial flag: a sub-half-second
-        # recheck cannot confirm a regression regardless of ratio.
+        # Same floors as the initial flag: a recheck below the
+        # absolute OR calibration-relative noise floor cannot confirm
+        # a regression regardless of ratio.
         if (
             ref > 0
             and recheck > REGRESSION_RATIO * ref
             and t >= MIN_FLAG_SECONDS
+            and recheck >= MIN_FLAG_NORM
         ):
             confirmed.append({**r, "recheck_norm": round(recheck, 3)})
     try:

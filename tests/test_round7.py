@@ -1146,3 +1146,30 @@ def test_kmv_merge_parity_plan_shape(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bench_norm_floor_ignores_overhead_dominated_queries(tmp_path, monkeypatch):
+    """The cohort_retention case: a query just OVER the absolute 0.5 s
+    floor but still within 2.5x of calibration (norm < MIN_FLAG_NORM)
+    is scheduler-overhead-dominated and must not flag even at a >1.5x
+    ratio; a genuinely plan-regressed query (norm well past the floor)
+    still must."""
+    import bench
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
+    sf = 0.1
+    for _ in range(3):
+        bench._flag_and_update_history(
+            {"overhead_q": 0.9, "real_q": 3.0},
+            sf,
+            raw={"overhead_q": 0.27, "real_q": 0.9},
+        )
+    regs, _ = bench._flag_and_update_history(
+        # overhead_q: ratio 2.1, raw 0.57 (over absolute floor), but
+        # norm 1.9 < MIN_FLAG_NORM -> not a flaggable regime.
+        # real_q: ratio 2.0 at norm 6.0 -> flags.
+        {"overhead_q": 1.9, "real_q": 6.0},
+        sf,
+        raw={"overhead_q": 0.57, "real_q": 1.8},
+    )
+    assert {r["query"] for r in regs} == {"real_q"}
