@@ -1173,3 +1173,62 @@ def test_bench_norm_floor_ignores_overhead_dominated_queries(tmp_path, monkeypat
         raw={"overhead_q": 0.57, "real_q": 1.8},
     )
     assert {r["query"] for r in regs} == {"real_q"}
+
+
+def test_quantile_sample_python_reference(spark, sf_dir):
+    """Third-engine check (pure Python): rebuild the identical
+    bottom-1024 hash sample from the parquet file, recompute
+    percentile_disc by hand (value at 1-indexed rank ceil(q*n)), and
+    match both the sampled and exact quantiles bit-for-bit."""
+    import hashlib
+    import math
+
+    from ucl_data_pipeline_spark.plans.extras33 import (
+        _QS,
+        _SAMPLE_K,
+        _TAG,
+        quantile_sample_error,
+    )
+
+    rows = {r["quantile"]: r for r in quantile_sample_error(spark, sf_dir).collect()}
+    assert set(rows) == {float(q) for q in _QS}
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).toPandas()
+
+    def h(o, l):
+        return int(
+            hashlib.md5(f"{_TAG}:{o}:{l}".encode()).hexdigest()[:12], 16
+        )
+
+    def pdisc(vals, q):
+        vs = sorted(vals)
+        return vs[max(0, math.ceil(q * len(vs)) - 1)]
+
+    pdf["h"] = [h(o, l) for o, l in zip(pdf.l_orderkey, pdf.l_linenumber)]
+    sample = pdf.nsmallest(_SAMPLE_K, "h")["l_extendedprice"].tolist()
+    full = pdf["l_extendedprice"].tolist()
+    for q in _QS:
+        r = rows[float(q)]
+        assert r["sample_value"] == float(pdisc(sample, float(q))), q
+        assert r["exact_value"] == float(pdisc(full, float(q))), q
+        # k=1024 on the fixture: error concentrated well under 10%
+        assert abs(r["rel_error"]) < 0.1, (q, r["rel_error"])
+
+
+def test_quantile_sample_plan_shape(spark, sf_dir):
+    """PLANS.md property: the sample side is a TakeOrderedAndProject
+    (per-partition bottom-k + k-row merge) — the sampled data is
+    never shuffled; the exact side is the audited-against full
+    aggregate. No CartesianProduct beyond the broadcast singleton
+    cross."""
+    from ucl_data_pipeline_spark.plans.extras33 import quantile_sample_error
+
+    df = quantile_sample_error(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -178,6 +178,10 @@ SHOWCASE = [
      "bottom-k via window sort WITHIN source partitions; the merge "
      "is a TakeOrdered over the k x |sources| sketch pool — the "
      "reduce-tree step a cluster NDV service runs"),
+    ("quantile_sample_error", "RangePartitioner-style bounds: the "
+     "sample is a TakeOrdered bottom-k by row-key hash — the sampled "
+     "data is never shuffled; exact percentile_disc is the "
+     "audited-against full pass"),
 ]
 
 

@@ -494,13 +494,18 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled sketch and the clamp stays scan-side.
     """
     li = read_table(spark, sf_dir, "lineitem")
+    # one percentile_disc buffer per group for BOTH cuts (array form —
+    # scalar percentile_disc aggs each keep their own full value
+    # buffer; extras33 precedent)
     cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.expr(
-            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p05"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p95"),
+            "percentile_disc(array(0.05D, 0.95D)) WITHIN GROUP "
+            "(ORDER BY l_extendedprice)"
+        ).alias("pp")
+    ).select(
+        "flag",
+        F.col("pp").getItem(0).alias("p05"),
+        F.col("pp").getItem(1).alias("p95"),
     )
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")

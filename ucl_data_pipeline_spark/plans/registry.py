@@ -87,7 +87,7 @@ def register(
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
 # Round-7 priority (the driver checks the first 50): (1) the
-# twenty-five NEW round-7 registrations — the end-to-end
+# twenty-six NEW round-7 registrations — the end-to-end
 # curation_pipeline composite, the tuning-frontier family
 # (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
 # contamination_gram_frontier, dedup_threshold_frontier,
@@ -101,8 +101,9 @@ def register(
 # source-overlap matrix (source_minhash_overlap), the extras28
 # CBO join-cardinality audit, its extras29 companion
 # join_skew_advisor, the extras30 corpus-LM perplexity filter
-# (doc_lm_cross_entropy), and the extras31/extras32 KMV sketch
-# pair (ndv_kmv_sketch_error, kmv_merge_parity) — twenty-five
+# (doc_lm_cross_entropy), the extras31/extras32 KMV sketch pair
+# (ndv_kmv_sketch_error, kmv_merge_parity), and the extras33
+# sampled-quantile audit (quantile_sample_error) — twenty-six
 # total;
 # (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
 # bucket ladder — the ×100 saturation fix), re-checked while changed;
@@ -122,10 +123,10 @@ def register(
 # placement doubles as the regression check for that rewrite.
 # Everything later in the dict has a green row from rounds 1-6
 # (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 300 with 25 new + 2 changed in
+# registered; the registry now holds 301 with 26 new + 3 changed in
 # the round-7 prefix) and stays locally verified by
 # tools/verify_local.py / the parametrized pytest oracle suite —
-# 299/300 oracle-exact in both ANSI modes this session, 1 rows-only
+# 300/301 oracle-exact in both ANSI modes this session, 1 rows-only
 # by design (kmeans_clusters).
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 7
@@ -163,6 +164,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "doc_lm_cross_entropy",
     # new in round 7, batch 12 (extras32): KMV union-merge parity gate
     "kmv_merge_parity",
+    # new in round 7, batch 13 (extras33): sampled-quantile audit
+    "quantile_sample_error",
     # new in round 7, batch 11 (extras31): KMV distinct-count sketch
     "ndv_kmv_sketch_error",
     # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
@@ -172,6 +175,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     # fact-sized build side) replaced by scan-side array pairing —
     # re-driver-checked while changed
     "copurchase_pairs",
+    # CHANGED in round 7: per-group percentile_disc cuts collapsed to
+    # the single-buffer array form (extras33 precedent) —
+    # re-driver-checked while changed (histogram_strategy_compare,
+    # changed the same way, is already in the never-checked block)
+    "winsorize_prices",
     # never driver-checked (12): closes the registry to 275/275
     "zipf_vocab_slope",
     "gini_impurity_feature_split",
@@ -195,11 +203,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "group_agg_basic",
     "count_distinct_agg",
     "rollup_region_nation",
-    "cube_status_priority",
-    "grouping_sets_status_priority",
     # (rank_function_surface yielded its slot to source_minhash_overlap,
     # and rest_days_lag, moving_avg_frame, rank_customers_by_balance,
-    # lead_and_share_of_total, conditional_agg, zscore_by_group yielded
+    # lead_and_share_of_total, conditional_agg, zscore_by_group,
+    # grouping_sets_status_priority, cube_status_priority yielded
     # theirs to the extras28-32 batches + the copurchase_pairs rewrite —
     # new/changed queries must be driver-checked while new. All of them
     # rejoin the stale rotation next round along with
