@@ -54,15 +54,19 @@ _AUDIT_COLS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def _h48(col: str, tag: int) -> Column:
+def _h48(col: Column | str, tag: int) -> Column:
     """48-bit hash: first 12 hex chars of md5('{tag}:' || value) as a
     BIGINT — the extras13 cross-engine digest spelling widened from 32
     to 48 bits so birthday collisions are negligible at any NDV this
     audit will see (collisions would only merge identically on both
-    engines anyway — the sketch stays bit-identical)."""
+    engines anyway — the sketch stays bit-identical). Accepts a column
+    name or any string-typed Column expression (extras33 hashes a
+    composite row key); the ONE Spark-side spelling of this digest —
+    keep it in lockstep with ``_sql_h48``."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{tag}:"), F.col(col).cast("string"))), 1, 12
+            F.md5(F.concat(F.lit(f"{tag}:"), c.cast("string"))), 1, 12
         ),
         16,
         10,

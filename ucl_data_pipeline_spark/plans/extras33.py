@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.extras31 import _sql_h48
+from ucl_data_pipeline_spark.plans.extras31 import _h48, _sql_h48
 from ucl_data_pipeline_spark.plans.registry import register
 from ucl_data_pipeline_spark.sources.io import read_table
 
@@ -115,22 +115,14 @@ def quantile_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     keyed = li.select(
         F.col("l_extendedprice").alias("v"),
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{_TAG}:"),
-                        F.col("l_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("l_linenumber").cast("string"),
-                    )
-                ),
-                1,
-                12,
+        _h48(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
             ),
-            16,
-            10,
-        ).cast("bigint").alias("h"),
+            _TAG,
+        ).alias("h"),
     )
     # ONE percentile_disc buffer per side via the array form: N scalar
     # percentile_disc aggs each materialize their own full value
