@@ -350,3 +350,58 @@ def test_shingles_match_python_model(spark, texts, k):
     got = {r["id"]: r["gs"] for r in df.collect()}
     for i, t in rows:
         assert got[i] == _py_shingles(t, k), (t, k)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),   # order key
+            st.integers(min_value=1, max_value=12),  # part key
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_scan_side_pair_generation_matches_python_model(spark, rows):
+    """The copurchase_pairs round-7 rewrite's core: a<b pair
+    generation from each group's sorted distinct-item array
+    (index-aware transform + slice) must equal the reference model
+    {unordered pairs of distinct items within a group} with exact
+    multiplicity-by-group semantics — including duplicate (order,
+    part) rows (collapse), single-item orders (no pairs), and empty
+    input."""
+    from collections import Counter
+    from itertools import combinations
+
+    expected = Counter()
+    by_order: dict[int, set] = {}
+    for o, p in rows:
+        by_order.setdefault(o, set()).add(p)
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            expected[(a, b)] += 1
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "l_orderkey int, l_partkey int"
+    )
+    if not rows:
+        df = df.where(F.col("l_orderkey").isNotNull())
+    baskets = df.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    parts_col = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts_col,
+            lambda x, i: F.transform(
+                F.slice(parts_col, i + F.lit(2), F.size(parts_col)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    got = Counter(
+        (r["p"]["a"], r["p"]["b"])
+        for r in baskets.select(F.explode(pair_arr).alias("p")).collect()
+    )
+    assert got == expected
