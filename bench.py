@@ -84,9 +84,12 @@ HISTORY_DEPTH = 5
 # Absolute-seconds floor (r7): norm ratios are meaningless below the
 # JIT/codegen noise floor — r6 "confirmed" doc_language_mix at 2.01x
 # on a 0.35 s query that re-measured clean in isolation. A query whose
-# raw best is under this floor is never flagged (history still
-# appends, so the rolling median stays honest if it later slows into
-# flaggable territory).
+# raw best is under this floor is never flagged. History append rule
+# (r8): an observation that exceeds REGRESSION_RATIO x median but is
+# suppressed only by the floors is NOT appended — absorbing it would
+# re-baseline the median and permanently hide a sub-floor regression
+# that later drifts past the floor; the pre-regression baseline is
+# preserved until the query becomes flaggable.
 MIN_FLAG_SECONDS = 0.5
 
 # Calibration-relative floor (r7, second iteration): the absolute
@@ -148,23 +151,27 @@ def _flag_and_update_history(
         # queries would be judged against whatever session they
         # happened to land in first.
         raw_sec = (raw or {}).get(name, float("inf"))
-        if (
-            not reseeded
-            and len(prior) >= 3
-            and raw_sec >= MIN_FLAG_SECONDS
-            and r >= MIN_FLAG_NORM
-        ):
-            ref = statistics.median(prior)
-            if ref > 0 and r > REGRESSION_RATIO * ref:
-                regressions.append(
-                    {
-                        "query": name,
-                        "norm": round(r, 3),
-                        "median_norm": round(ref, 3),
-                        "ratio": round(r / ref, 2),
-                    }
-                )
-        store[name] = (prior + [round(r, 4)])[-HISTORY_DEPTH:]
+        ref = statistics.median(prior) if len(prior) >= 3 else None
+        exceeds = ref is not None and ref > 0 and r > REGRESSION_RATIO * ref
+        below_floor = raw_sec < MIN_FLAG_SECONDS or r < MIN_FLAG_NORM
+        if not reseeded and exceeds and not below_floor:
+            regressions.append(
+                {
+                    "query": name,
+                    "norm": round(r, 3),
+                    "median_norm": round(ref, 3),
+                    "ratio": round(r / ref, 2),
+                }
+            )
+        # Skip the append when the observation exceeds the regression
+        # ratio but is shielded by a floor: appending would absorb the
+        # regressed norms into the rolling median and a 1.0->2.0-norm
+        # regression could never be flagged even after drifting past
+        # MIN_FLAG_NORM. Keeping the pre-regression history means the
+        # ratio test still fires the first run the floors stop
+        # shielding it.
+        if not (exceeds and below_floor):
+            store[name] = (prior + [round(r, 4)])[-HISTORY_DEPTH:]
     regressions.sort(key=lambda r: -r["ratio"])
     try:
         with open(HISTORY_PATH, "w") as f:
@@ -533,8 +540,8 @@ def main() -> None:
             out["history_reseeded"] = reseeded
     print(json.dumps(out))
     if not subset:
-        summary = _summary_line(out, timings)
-        assert len(json.dumps(summary)) < 2000, "summary line must fit tail"
+        # bench_full.json FIRST: if summary shaping ever fails, the
+        # full artifact is already on disk for post-mortem.
         try:
             with open(
                 os.path.join(
@@ -546,6 +553,39 @@ def main() -> None:
                 json.dump(out, f, indent=1, sort_keys=True)
         except OSError:
             pass
+        summary = _summary_line(out, timings)
+        # Explicit size check, NOT an assert (asserts vanish under
+        # python -O and an oversized line would be silently cut by the
+        # driver's ~2 KB tail — the exact failure this guards). Shrink
+        # the optional payloads until the line provably fits: drop
+        # slowest-queries entries (least-slow first), then regression
+        # entries, then whole optional keys.
+        while len(json.dumps(summary)) >= 2000:
+            if summary.get("queries"):
+                summary["queries"].popitem()
+                summary["queries_truncated_to_slowest"] = len(
+                    summary["queries"]
+                )
+            elif summary.get("regressions"):
+                summary["regressions"].pop()
+                summary["regressions_truncated"] = out.get(
+                    "regression_candidates", 0
+                )
+            else:
+                for k in (
+                    "plan_counters_note",
+                    "regressions_truncated",
+                    "regressions",
+                    "history_reseeded",
+                    "queries_full",
+                    "queries_truncated_to_slowest",
+                    "queries",
+                ):
+                    if k in summary:
+                        del summary[k]
+                        break
+                else:
+                    break  # nothing droppable left; emit as-is
         print(json.dumps(summary))
 
 

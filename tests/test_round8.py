@@ -1,0 +1,137 @@
+"""Round-8 additions: regression-tracker baseline preservation, the
+ANSI-safe adaptive sign bucket, and the self-shrinking bench summary
+line."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bench_history_preserves_baseline_for_shielded_regressions(
+    tmp_path, monkeypatch
+):
+    """The ADVICE-flagged blind spot: a query with baseline norm ~1.0
+    that regresses 2x (to ~2.0, below MIN_FLAG_NORM=2.5) must NOT have
+    its regressed norms absorbed into the rolling median — otherwise a
+    later drift past the floor compares against the already-absorbed
+    level and never flags. The pre-regression baseline is preserved
+    while the floors shield, so the first observation past the floor
+    still fires the ratio test."""
+    import bench
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
+    sf = 0.1
+    for _ in range(3):
+        bench._flag_and_update_history({"q": 1.0}, sf, raw={"q": 1.0})
+    # Regressed 2x but shielded by MIN_FLAG_NORM (2.0 < 2.5): no flag,
+    # and the 2.0 observations must NOT enter the history.
+    for _ in range(4):
+        regs, _ = bench._flag_and_update_history({"q": 2.0}, sf, raw={"q": 2.0})
+        assert regs == []
+    hist = bench._load_history()
+    assert hist["norms"]["q"] == [1.0, 1.0, 1.0], (
+        "shielded over-ratio observations must not re-baseline the median"
+    )
+    # Drifts past the floor: must flag against the PRESERVED baseline.
+    regs, _ = bench._flag_and_update_history({"q": 2.6}, sf, raw={"q": 2.6})
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0]["median_norm"] == 1.0
+
+
+def test_bench_history_still_appends_benign_observations(tmp_path, monkeypatch):
+    """Sub-ratio drift (the benign case) must keep appending so the
+    rolling median tracks slow environmental drift as before."""
+    import bench
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
+    sf = 0.1
+    for norm in (1.0, 1.1, 1.2, 1.3):
+        bench._flag_and_update_history({"q": norm}, sf, raw={"q": 1.0})
+    hist = bench._load_history()
+    assert hist["norms"]["q"] == [1.0, 1.1, 1.2, 1.3]
+
+
+def test_summary_line_shrinks_to_fit_without_assert(monkeypatch):
+    """The emit path must not rely on `assert` (stripped under -O):
+    _summary_line output larger than the tail window is shrunk by the
+    explicit loop in main(). Reproduce the loop's contract directly:
+    an oversized summary converges below 2000 bytes by dropping
+    queries entries."""
+    import bench
+
+    timings = {f"query_with_a_rather_long_name_{i:04d}": 1.0 + i for i in range(10)}
+    out = {
+        "metric": "engine_query_suite_runtime",
+        "value": 1.0,
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "mean_query_sec": 1.0,
+        "mean_query_sec_headline": 1.0,
+        "protocol": "cold-cache-per-run",
+        "regressions": [
+            {"query": "x" * 150, "norm": 9.9, "median_norm": 1.0, "ratio": 9.9}
+            for _ in range(20)
+        ],
+        "regression_candidates": 20,
+    }
+    summary = bench._summary_line(out, timings)
+    # Simulate the main() shrink loop with a tiny budget to prove it
+    # terminates and lands under budget whenever anything is droppable.
+    budget = 600
+    while len(json.dumps(summary)) >= budget:
+        if summary.get("queries"):
+            summary["queries"].popitem()
+            summary["queries_truncated_to_slowest"] = len(summary["queries"])
+        elif summary.get("regressions"):
+            summary["regressions"].pop()
+            summary["regressions_truncated"] = out.get("regression_candidates", 0)
+        else:
+            for k in (
+                "plan_counters_note",
+                "regressions_truncated",
+                "regressions",
+                "history_reseeded",
+                "queries_full",
+                "queries_truncated_to_slowest",
+                "queries",
+            ):
+                if k in summary:
+                    del summary[k]
+                    break
+            else:
+                break
+    assert len(json.dumps(summary)) < budget
+    # Scalars survive the shrink: the driver always gets the metrics.
+    assert summary["metric"] == "engine_query_suite_runtime"
+    assert summary["n_queries"] == len(timings)
+
+
+def test_adaptive_sign_bucket_short_vector_ansi(spark):
+    """ADVICE r7: under ANSI mode, element_at would raise
+    INVALID_ARRAY_INDEX for vectors shorter than NBITS_MAX=20 (the
+    when() guard does not short-circuit); try_element_at yields NULL →
+    the 0 branch, matching the DuckDB list-index-out-of-range=NULL
+    semantics. Both ANSI modes must return the same bucket for a
+    3-dim vector."""
+    from ucl_data_pipeline_spark.functions import vector as VX
+
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 3.0],), ([-1.0, 1.0, 1.0],)], "v array<double>"
+    )
+    expected = [0b101, 0b110]
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    results = {}
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            rows = df.select(
+                VX.adaptive_sign_bucket("v", F.lit(20)).alias("b")
+            ).collect()
+            results[mode] = [r["b"] for r in rows]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert results["false"] == expected
+    assert results["true"] == expected

@@ -74,14 +74,21 @@ def adaptive_sign_bucket(vec: ColumnOrName, nbits: Column) -> Column:
     """Sign bucket over the first ``nbits`` components with nbits a
     COLUMN: fold Σ 2^i·[vecᵢ₊₁ > 0] over i < nbits. 2^i via pow-cast
     (exact in double through 2^52); ≤ NBITS_MAX cheap lambda steps.
-    Agrees bit-for-bit with ``sign_bucket(vec, 8)`` when nbits = 8."""
+    Agrees bit-for-bit with ``sign_bucket(vec, 8)`` when nbits = 8.
+
+    ``try_element_at`` (not ``element_at``): the when() guard does not
+    short-circuit the element access, so under ANSI mode a vector
+    shorter than NBITS_MAX would raise INVALID_ARRAY_INDEX where the
+    DuckDB spelling yields NULL and falls to the ELSE 0 branch;
+    try_element_at returns NULL out-of-range in both ANSI modes, so
+    the 0 branch is taken identically cross-engine."""
     v = as_double(vec)
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(NBITS_MAX - 1)),
         F.lit(0).cast("long"),
         lambda acc, i: acc
         + F.when(
-            (i < nbits) & (F.element_at(v, (i + 1).cast("int")) > 0),
+            (i < nbits) & (F.try_element_at(v, (i + 1).cast("int")) > 0),
             F.pow(F.lit(2.0), i).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )

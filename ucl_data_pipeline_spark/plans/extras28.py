@@ -171,14 +171,16 @@ def _audit_one(
     tags=("stats", "plan"),
 )
 def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """System-R NDV join-cardinality estimate vs exact truth for all
-    five FK edges in the schema, one row per join with the q-error.
+    """System-R NDV join-cardinality estimate vs exact truth for six
+    audited joins — the schema's five FK edges plus one genuine
+    many-to-many (customer x supplier on nationkey) — one row per
+    join with the q-error.
 
     Plan shape (the 100 TB contract): per edge, two key-grain
     hash-aggs (map-side combine; shuffle at NDV grain) feed (a) two
     singleton stat rows and (b) a key-grain equi-join whose
     SUM(cl*cr) IS the exact join cardinality — the row-level join is
-    never built, so 'truth' costs NDV-join, not row-join. The five
+    never built, so 'truth' costs NDV-join, not row-join. The six
     audit rows union. At 1000 executors each edge is an independent
     stage pipeline; the dominant cost is the two grain shuffles per
     edge, each bounded by the key NDV (<= row count, typically far

@@ -721,11 +721,26 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix cut drops each doc to ~n/2 rarest tokens; the self-join
     key distribution is the RARE tail of the vocabulary by
     construction. Verification joins run only on surviving candidates.
+
+    Shuffle keys are 8-byte xxhash64 DIGESTS of the shingles, not the
+    raw strings (same re-keying as the LSH band keys, llm_ops.py) —
+    the df hash-agg, the doc_id-window sort, and the prefix self-join
+    all move fixed-width longs. The prefix set chosen under the
+    (df, digest) total order can differ from the oracle's (df, string)
+    order on equal-df ties, but prefix filtering is COMPLETE under any
+    consistent global order (every pair with J ≥ θ shares a prefix
+    token), and full-set verification computes exact Jaccard — so the
+    final output is order-invariant and the string-keyed DuckDB oracle
+    remains the digest-collision check.
     """
     from ucl_data_pipeline_spark.plans.llm_ops import _rep_features
 
     toks = _rep_features(spark, sf_dir).withColumnRenamed("feats", "toks").persist()
-    ex = toks.select("doc_id", F.explode("toks").alias("tok")).persist()
+    ex = (
+        toks.select("doc_id", F.explode("toks").alias("tok_s"))
+        .select("doc_id", F.xxhash64("tok_s").alias("tok"))
+        .persist()
+    )
     df = ex.groupBy("tok").agg(F.count("*").alias("df"))
     # rn and n ride the SAME doc_id shuffle (two window specs, one
     # partitioning) — no doc-level side table to join or broadcast,
