@@ -48,6 +48,7 @@ regression flags are computed on ratios.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -112,6 +113,50 @@ MIN_FLAG_NORM = 2.5
 _EXCLUDED_MEAN_TAGS = ("baseline", "iterative")
 
 
+# Physical-plan token counts recorded per query in bench_full.json —
+# deterministic at fixed code+SF, so "plan unchanged" becomes a machine
+# check instead of an adjudication cycle (r7 spent one proving
+# robust_zscore's drift was environment-not-plan). Tokens chosen to
+# capture exactly what a plan regression would move: shuffle count and
+# kind, join strategy, aggregate/window/sort operators.
+_PLAN_TOKENS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "Sort ",
+    "TakeOrderedAndProject",
+    "InMemoryTableScan",
+)
+
+
+def _plan_counters(df) -> dict[str, int]:
+    """Nonzero token counts of the POST-EXECUTION physical plan (AQE
+    final where applicable) — the per-query plan fingerprint archived
+    next to its wall-time."""
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return {}
+    out = {t.strip(): s.count(t) for t in _PLAN_TOKENS}
+    return {k: v for k, v in out.items() if v}
+
+
+def _plan_hash(counters: dict[str, int]) -> str:
+    return hashlib.md5(
+        json.dumps(counters, sort_keys=True).encode()
+    ).hexdigest()[:12]
+
+
 def _load_history() -> dict:
     try:
         with open(HISTORY_PATH) as f:
@@ -124,6 +169,7 @@ def _flag_and_update_history(
     norms: dict[str, float],
     sf: float | None,
     raw: dict[str, float] | None = None,
+    plans: dict[str, dict] | None = None,
 ):
     """Return (regressions, reseeded) and append to the rolling
     history.
@@ -137,12 +183,22 @@ def _flag_and_update_history(
     the stored epoch was absent/foreign and the history was
     re-initialized from this run (no flags reported — nothing
     comparable to flag against).
+
+    `plans` maps query → plan-counter dict for this run (r8). When a
+    query's plan hash equals the stored hash from the prior run, an
+    over-ratio observation is NOT flagged — plan-unchanged drift is
+    environment by definition (the r7 robust_zscore adjudication,
+    mechanized) — and IS appended, so the rolling median absorbs the
+    new environmental level. Flags therefore mean "slower AND the
+    physical plan moved". Queries with no stored/current plan hash
+    flag as before.
     """
     hist = _load_history()
     reseeded = hist.get("epoch") != EPOCH or hist.get("sf") != sf
     if reseeded:
         hist = {"epoch": EPOCH, "sf": sf, "norms": {}}
     store = hist.setdefault("norms", {})
+    plan_store = hist.setdefault("plans", {})
     regressions = []
     for name, r in norms.items():
         prior = store.get(name) or []
@@ -154,7 +210,14 @@ def _flag_and_update_history(
         ref = statistics.median(prior) if len(prior) >= 3 else None
         exceeds = ref is not None and ref > 0 and r > REGRESSION_RATIO * ref
         below_floor = raw_sec < MIN_FLAG_SECONDS or r < MIN_FLAG_NORM
-        if not reseeded and exceeds and not below_floor:
+        cur_plan = (plans or {}).get(name)
+        cur_hash = _plan_hash(cur_plan) if cur_plan else None
+        plan_unchanged = (
+            cur_hash is not None and plan_store.get(name) == cur_hash
+        )
+        if cur_hash is not None:
+            plan_store[name] = cur_hash
+        if not reseeded and exceeds and not below_floor and not plan_unchanged:
             regressions.append(
                 {
                     "query": name,
@@ -169,8 +232,10 @@ def _flag_and_update_history(
         # regression could never be flagged even after drifting past
         # MIN_FLAG_NORM. Keeping the pre-regression history means the
         # ratio test still fires the first run the floors stop
-        # shielding it.
-        if not (exceeds and below_floor):
+        # shielding it. Plan-unchanged over-ratio drift DOES append —
+        # it is adjudicated environment, and the median should track
+        # the new environmental level.
+        if plan_unchanged or not (exceeds and below_floor):
             store[name] = (prior + [round(r, 4)])[-HISTORY_DEPTH:]
     regressions.sort(key=lambda r: -r["ratio"])
     try:
@@ -294,9 +359,9 @@ def _calibrate(spark, sf_dir: str) -> float:
 
 def _run_in_process(
     names: list[str], sf_dir: str
-) -> tuple[dict[str, float], float]:
+) -> tuple[dict[str, float], float, dict[str, dict]]:
     """Measure `names` in this process's (fresh) Spark session.
-    Returns (timings, calibration_sec)."""
+    Returns (timings, calibration_sec, plan_counters)."""
     from pyspark.sql import functions as F
 
     from ucl_data_pipeline_spark import get_spark
@@ -317,6 +382,7 @@ def _run_in_process(
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     max_runs = max(runs, int(os.environ.get("BENCH_MAX_RUNS", "4")))
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in names:
         fn = REGISTRY[name].fn
         best = float("inf")
@@ -355,17 +421,21 @@ def _run_in_process(
             if done >= max_runs or spent > 15.0 or not improved:
                 break
         timings[name] = round(best, 3)
-    return timings, calib
+        # Post-execution fingerprint (AQE-final): the last run's df.
+        plans[name] = _plan_counters(df)
+    return timings, calib, plans
 
 
 def _run_chunked(
     names: list[str], chunk: int
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, dict]]:
     """Measure `names` in fresh-JVM subprocesses of `chunk` queries.
-    Returns (timings, norms): norms divide each query by ITS OWN
-    chunk's calibration, so per-JVM speed variance cancels too."""
+    Returns (timings, norms, plan_counters): norms divide each query
+    by ITS OWN chunk's calibration, so per-JVM speed variance cancels
+    too."""
     timings: dict[str, float] = {}
     norms: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for i in range(0, len(names), chunk):
         part = names[i : i + chunk]
         env = dict(os.environ)
@@ -393,11 +463,12 @@ def _run_chunked(
             continue
         payload = json.loads(line)
         timings.update(payload["queries"])
+        plans.update(payload.get("plan_counters") or {})
         calib = payload.get("calib_sec") or 0.0
         if calib > 0:
             for n, t in payload["queries"].items():
                 norms[n] = t / calib
-    return timings, norms
+    return timings, norms, plans
 
 
 def _summary_line(out: dict, timings: dict[str, float]) -> dict:
@@ -450,17 +521,18 @@ def main() -> None:
 
     calibs: list[float] = []
     norms: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     if subset:
         # Child-chunk / explicit-subset mode: measure in THIS process.
         # (The parent derives norms from calib_sec itself — no norms
         # are computed here.)
         names = [n.strip() for n in subset.split(",") if n.strip()]
-        timings, calib = _run_in_process(names, sf_dir)
+        timings, calib, plans = _run_in_process(names, sf_dir)
         calibs.append(calib)
     else:
         names = sorted(REGISTRY)  # stable order across rounds
         if chunk > 0:
-            timings, norms = _run_chunked(names, chunk)
+            timings, norms, plans = _run_chunked(names, chunk)
             missing = [n for n in names if n not in timings]
             if missing:
                 # Safety net: if subprocess isolation failed in this
@@ -470,14 +542,15 @@ def main() -> None:
                     f"bench: {len(missing)} queries missing from chunked "
                     "run; measuring in-process\n"
                 )
-                extra, calib = _run_in_process(missing, sf_dir)
+                extra, calib, extra_plans = _run_in_process(missing, sf_dir)
                 timings.update(extra)
+                plans.update(extra_plans)
                 if calib > 0:
                     norms.update(
                         {n: t / calib for n, t in extra.items()}
                     )
         else:
-            timings, calib = _run_in_process(names, sf_dir)
+            timings, calib, plans = _run_in_process(names, sf_dir)
             calibs.append(calib)
             if calib > 0:
                 norms = {n: t / calib for n, t in timings.items()}
@@ -514,6 +587,11 @@ def main() -> None:
         # intermediates survived between runs) and are NOT comparable
         # — they under-priced every query that persists.
         "protocol": "cold-cache-per-run",
+        # r8: per-query physical-plan token counts (AQE-final), so
+        # "plan unchanged since last run" is a machine check. Goes to
+        # bench_full.json / the child payload only — never the
+        # summary tail line.
+        "plan_counters": plans,
     }
     if subset and calibs:
         out["calib_sec"] = round(calibs[0], 3)
@@ -531,7 +609,7 @@ def main() -> None:
             # full runs at other SFs are not comparable and must not
             # touch (let alone reseed) the stored bests.
             regressions, reseeded = _flag_and_update_history(
-                norms, out["sf"], raw=timings
+                norms, out["sf"], raw=timings, plans=plans
             )
             out["regression_candidates"] = len(regressions)
             if regressions:

@@ -135,3 +135,121 @@ def test_adaptive_sign_bucket_short_vector_ansi(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert results["false"] == expected
     assert results["true"] == expected
+
+
+# ---------------------------------------------------------------------------
+# extras34: the round-8 audit queries
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_sketch_rank_error_within_band(spark, sf_dir):
+    """The k=256 bottom-k-by-hash sample's median must sit within a
+    4-sigma rank band of the true median: |F(sample_median) - 0.5|
+    <= 4 * 1/(2*sqrt(k)) = 0.125. Rank (not value) error is the
+    quantity the estimator controls."""
+    from ucl_data_pipeline_spark.plans.extras34 import (
+        _PS_K,
+        percentile_sketch_error,
+    )
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    rows = percentile_sketch_error(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event_type
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    band = 4 * (1.0 / (2 * _PS_K**0.5))
+    for r in rows:
+        v = sorted(vals[r["event_type"]])
+        rank = sum(1 for x in v if x <= r["sample_median"]) / len(v)
+        assert abs(rank - 0.5) <= band, (r["event_type"], rank)
+        assert r["exact_mad"] > 0 and r["sample_mad"] > 0
+
+
+def test_pagerank_residual_contracts_and_converged(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras34 import (
+        _PR_TOL,
+        pagerank_residual_audit,
+    )
+
+    [r] = pagerank_residual_audit(spark, sf_dir).collect()
+    assert r["n_nodes"] == 25
+    # Contraction: the PageRank operator shrinks the residual by at
+    # most d=0.85 per superstep; observed is d*|lambda_2|, far smaller
+    # on the dense trade network.
+    assert r["l1_last"] <= r["l1_prev"]
+    assert r["contraction_ratio"] <= 0.85
+    assert r["within_tol"] is True
+    assert r["l1_last"] <= _PR_TOL
+
+
+def test_cc_supersteps_reach_fixpoint(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras34 import cc_superstep_convergence
+
+    rows = sorted(
+        cc_superstep_convergence(spark, sf_dir).collect(),
+        key=lambda r: r["superstep"],
+    )
+    changed = [r["n_changed"] for r in rows]
+    assert changed == sorted(changed, reverse=True), "must be non-increasing"
+    assert changed[-1] == 0, (
+        "label propagation must reach fixpoint within the unrolled depth"
+    )
+    assert changed[0] > 0, "step 1 must do real work on this corpus"
+
+
+def test_salted_exec_fans_out_and_merge_joins(spark, sf_dir):
+    from ucl_data_pipeline_spark.plans.extras34 import join_skew_salted_exec
+
+    df = join_skew_salted_exec(spark, sf_dir)
+    rows = df.collect()
+    buckets = {r["salt_buckets"] for r in rows}
+    assert len(buckets) == 1
+    assert buckets.pop() >= 2, (
+        "the demo target must prescribe a real fan-out at this SF"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, "salting must not be hidden by broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_plan_unchanged_flag_autoclears(tmp_path, monkeypatch):
+    """r8: an over-ratio observation whose plan-counter hash equals
+    the stored hash is adjudicated environment — no flag, and the
+    norm IS absorbed into the rolling median (unlike floor-shielded
+    observations). A changed plan at the same ratio still flags."""
+    import bench
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
+    sf = 0.1
+    plan = {"Exchange hashpartitioning": 1, "HashAggregate": 2}
+    for _ in range(3):
+        bench._flag_and_update_history(
+            {"q": 3.0}, sf, raw={"q": 3.0}, plans={"q": plan}
+        )
+    regs, _ = bench._flag_and_update_history(
+        {"q": 9.0}, sf, raw={"q": 9.0}, plans={"q": plan}
+    )
+    assert regs == [], "plan-unchanged drift must auto-clear"
+    hist = bench._load_history()
+    assert 9.0 in hist["norms"]["q"], "environmental drift must absorb"
+    # Same magnitude with a DIFFERENT plan: flags (median is now
+    # [3,3,3,9] -> 3.0; 9.0 > 1.5x).
+    regs, _ = bench._flag_and_update_history(
+        {"q": 9.0}, sf, raw={"q": 9.0}, plans={"q": {"SortMergeJoin": 2}}
+    )
+    assert [r["query"] for r in regs] == ["q"]
+
+
+def test_plan_counters_deterministic_and_nonzero(spark, sf_dir):
+    import bench
+    from ucl_data_pipeline_spark.plans import REGISTRY
+
+    df = REGISTRY["group_agg_basic"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    c1 = bench._plan_counters(df)
+    assert c1.get("HashAggregate", 0) >= 1
+    df2 = REGISTRY["group_agg_basic"].fn(spark, sf_dir)
+    df2.write.format("noop").mode("overwrite").save()
+    assert bench._plan_hash(bench._plan_counters(df2)) == bench._plan_hash(c1)

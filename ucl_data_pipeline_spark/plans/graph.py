@@ -48,7 +48,10 @@ def _sql_iter(prev: str, cur: str) -> str:
 )"""
 
 
-_PAGERANK_ORACLE = f"""
+# Shared CTE prefix (nodes/edges/outw/r0 + the unrolled iterations) —
+# also consumed by extras34's pagerank_residual_audit, which SELECTs
+# from the intermediate r{k} frames instead of the last one.
+PAGERANK_CTE_PREFIX = f"""
 WITH nodes AS (
   SELECT n_nationkey AS node FROM nation
 ), edges AS (
@@ -65,24 +68,24 @@ WITH nodes AS (
   SELECT node, CAST(1.0 / {_N_NODES} AS DOUBLE) AS rank FROM nodes
 ),
 {",".join(_sql_iter(f"r{i}", f"r{i + 1}") for i in range(_N_ITER))}
+"""
+
+_PAGERANK_ORACLE = f"""{PAGERANK_CTE_PREFIX}
 SELECT node, rank FROM r{_N_ITER}
 ORDER BY rank DESC, node
 """
 
 
-@register("pagerank_trade_network", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative", "join"))
-def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (d=0.85, 5 fixed iterations) over the nation trade
-    network: an edge supplier-nation → customer-nation per
-    (lineitem ⋈ orders) flow, weighted by flow count. Each iteration
-    is one lazy join+agg superstep — NO driver round-trips (contrast
-    kmeans, whose centroid argmin forces per-iteration collects); the
-    whole five-step computation is a single Catalyst plan.
-
-    Cross-engine determinism: per-edge contributions are rounded to
-    12 dp and summed exactly in decimal each iteration, so both
-    engines produce bit-identical ranks after every step.
-    """
+def pagerank_rank_chain(
+    spark: SparkSession, sf_dir: str, n_iter: int = _N_ITER
+) -> list[DataFrame]:
+    """The full lazy rank chain [r0, r1, ..., r_n_iter] — shared by
+    ``pagerank_trade_network`` (which returns the last frame) and the
+    round-8 ``pagerank_residual_audit`` in extras34 (which differences
+    consecutive frames). Extracting the list changes NO expression in
+    the witnessed pagerank plan: the loop body below is the round-1
+    spelling verbatim; this wrapper only keeps references to the
+    intermediate (still lazy) DataFrames instead of dropping them."""
     l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -110,7 +113,8 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranks = nodes.select("node", F.lit(1.0 / _N_NODES).alias("rank"))
-    for _ in range(_N_ITER):
+    chain = [ranks]
+    for _ in range(n_iter):
         # ranks/contrib are bounded by node count (25 rows) — broadcast
         # them so the weighted edge table never re-shuffles per
         # superstep (same policy as bfs_reach_hops).
@@ -139,6 +143,24 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("rank"),
         )
+        chain.append(ranks)
+    return chain
+
+
+@register("pagerank_trade_network", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative", "join"))
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 fixed iterations) over the nation trade
+    network: an edge supplier-nation → customer-nation per
+    (lineitem ⋈ orders) flow, weighted by flow count. Each iteration
+    is one lazy join+agg superstep — NO driver round-trips (contrast
+    kmeans, whose centroid argmin forces per-iteration collects); the
+    whole five-step computation is a single Catalyst plan.
+
+    Cross-engine determinism: per-edge contributions are rounded to
+    12 dp and summed exactly in decimal each iteration, so both
+    engines produce bit-identical ranks after every step.
+    """
+    ranks = pagerank_rank_chain(spark, sf_dir, _N_ITER)[-1]
     return ranks.orderBy(F.col("rank").desc(), "node")
 
 

@@ -1202,8 +1202,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_ORACLE = rf"""
-WITH RECURSIVE rep AS (
+# Shared edge-construction CTE chain (rep → tok → feat → LSH bands →
+# verified pairs → exact-dup pairs → symmetric edges) — also consumed
+# by extras34's cc_superstep_convergence, which unrolls label
+# propagation over the same edge set instead of the recursive closure.
+CC_EDGES_SQL_CTES = rf"""rep AS (
   SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
 ), tok AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM rep
@@ -1230,7 +1233,37 @@ WITH RECURSIVE rep AS (
   SELECT doc_a, doc_b FROM exact_pairs
   UNION ALL
   SELECT doc_b, doc_a FROM exact_pairs
-), reach(doc_id, r) AS (
+)"""
+
+def cc_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-dup edge set: LSH-verified pairs among
+    exact-collapsed representatives (dedup_minhash_lsh) PLUS
+    (representative, copy) edges for exact duplicates, so
+    byte-identical copies land in their representative's component.
+    Materialized once (localCheckpoint + persist) — without this the
+    union would execute the whole LSH lineage twice, once per
+    direction. Shared by ``dedup_connected_components`` and extras34's
+    ``cc_superstep_convergence``."""
+    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
+    exact = (
+        docs.join(rep, "text")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = near.unionByName(exact).localCheckpoint()
+    return (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+
+
+_CC_ORACLE = rf"""
+WITH RECURSIVE {CC_EDGES_SQL_CTES}, reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
@@ -1254,28 +1287,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage — the standard Spark iterative-algorithm pattern
     (GraphFrames/GraphX do the same under the hood).
     """
-    # Edge set = near-dup pairs among exact-collapsed representatives
-    # (dedup_minhash_lsh) PLUS (representative, copy) edges for exact
-    # duplicates, so byte-identical copies land in their
-    # representative's component. Materialized once — without this the
-    # union below would execute the whole LSH lineage twice, once per
-    # direction.
-    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
-    exact = (
-        docs.join(rep, "text")
-        .filter(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    pairs = near.unionByName(exact).localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
-    )
+    edges = cc_edge_set(spark, sf_dir)
     labels = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", F.col("doc_id").alias("component_id"))

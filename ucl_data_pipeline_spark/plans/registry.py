@@ -86,134 +86,83 @@ def register(
 # green CORRECTNESS row from a prior round come last (they stay registered
 # and locally verified — tools/verify_local.py covers the full inventory).
 #
-# Round-7 priority (the driver checks the first 50): (1) the
-# twenty-six NEW round-7 registrations — the end-to-end
-# curation_pipeline composite, the tuning-frontier family
-# (ann_recall_frontier, minhash_size_frontier, pack_budget_frontier,
-# contamination_gram_frontier, dedup_threshold_frontier,
-# watermark_lateness_frontier), the extras22 monitoring-statistics
-# batch (theil_sen_slope_daily, kendall_tau_via_grain,
-# benjamini_hochberg_promo, brown_forsythe_priority,
-# degree_assortativity_trade, page_hinkley_drift_daily), the extras23
-# mixture/retrieval pair (source_jsd_matrix, ann_rrf_fusion), the
-# extras25 pair (logrank_survival_ab, tokenizer_fertility), the
-# extras26 pair (srm_check_split, bm25_doc_ranking), the extras27
-# source-overlap matrix (source_minhash_overlap), the extras28
-# CBO join-cardinality audit, its extras29 companion
-# join_skew_advisor, the extras30 corpus-LM perplexity filter
-# (doc_lm_cross_entropy), the extras31/extras32 KMV sketch pair
-# (ndv_kmv_sketch_error, kmv_merge_parity), and the extras33
-# sampled-quantile audit (quantile_sample_error) — twenty-six
-# total;
-# (2) dedup_embedding_cosine, CHANGED this round (corpus-sized LSH
-# bucket ladder — the ×100 saturation fix), re-checked while changed;
-# (3) the twelve end-of-round-6
-# extras19/extras20 registrations that have never had a driver
-# CORRECTNESS row (zipf_vocab_slope, gini_impurity_feature_split,
-# segment_drift_decomposition, dedup_minhash_pr, ngram_novelty_rate,
-# dictionary_encoding_planner, runs_test_daily_revenue,
-# mann_kendall_trend, changepoint_single_split, subsample_mean_ci_hash,
-# histogram_strategy_compare, powerlaw_alpha_user_activity — all
-# re-verified oracle-exact locally; a green row for these closes every
-# pre-round-7 registration's driver coverage); (4) the stalest green
-# rows — round-1-vintage queries whose only driver evidence is six
-# rounds old, refreshed so no green row ages past ~5 rounds.
-# ngram_novelty_rate and dedup_minhash_pr additionally changed this
-# round (shingle shuffle re-keyed to xxhash64 digests), so their
-# placement doubles as the regression check for that rewrite.
-# Everything later in the dict has a green row from rounds 1-6
-# (cumulative 263 driver-checked pre-round-7 of the 275 then
-# registered; the registry now holds 301 with 26 new + 3 changed in
-# the round-7 prefix) and stays locally verified by
-# tools/verify_local.py / the parametrized pytest oracle suite —
-# 300/301 oracle-exact in both ANSI modes this session, 1 rows-only
-# by design (kmeans_clusters).
+# Round-8 priority (the driver checks the first 50): (1) the four NEW
+# round-8 registrations (extras34): percentile_sketch_error (the
+# percentile-buffer -> sampled-sketch substitution audit),
+# pagerank_residual_audit + cc_superstep_convergence (convergence
+# audits for the fixed-superstep iterative family), and
+# join_skew_salted_exec (the advisor->execution skew round trip);
+# (2) queries CHANGED this round, re-checked while changed:
+# jaccard_prefix_filter_pairs (prefix index re-keyed to xxhash64
+# digests), dedup_embedding_cosine + dedup_threshold_frontier
+# (adaptive_sign_bucket moved to try_element_at for ANSI parity), and
+# pagerank_trade_network (rank chain extracted for the residual
+# audit — plan unchanged, re-witnessed anyway); (3) the REMAINING 27
+# round-1-vintage rows — every query whose only driver evidence
+# predates round 2 (the round-7 digest re-keying and lambda-CSE
+# rewrites changed many of their physical plans: dedup_exact,
+# bpe_token_count, the minhash/text families); (4) 15 of the 38
+# round-2-vintage rows, dedup/text-family first (the rest rotate in
+# round 9, after which no green row predates round 3).
+# Everything later in the dict has a green row from rounds 3-7 and
+# stays locally verified by tools/verify_local.py / the parametrized
+# pytest oracle suite over the FULL registry.
 EXPORT_FIRST: tuple[str, ...] = (
-    # new in round 7
-    "curation_pipeline",
-    "ann_recall_frontier",
-    "minhash_size_frontier",
-    "pack_budget_frontier",
-    "contamination_gram_frontier",
-    # new in round 7, batch 2 (extras22): monitoring statistics
-    "theil_sen_slope_daily",
-    "kendall_tau_via_grain",
-    "benjamini_hochberg_promo",
-    "brown_forsythe_priority",
-    "degree_assortativity_trade",
-    "page_hinkley_drift_daily",
-    # new in round 7, batch 3 (extras23): mixture JSD + rank fusion
-    "source_jsd_matrix",
-    "ann_rrf_fusion",
-    # new in round 7, batch 4 (extras24): dedup + watermark frontiers
-    "dedup_threshold_frontier",
-    "watermark_lateness_frontier",
-    # new in round 7, batch 5 (extras25): log-rank A/B + fertility
-    "logrank_survival_ab",
-    "tokenizer_fertility",
-    # new in round 7, batch 6 (extras26): split SRM gate + BM25
-    "srm_check_split",
-    "bm25_doc_ranking",
-    # new in round 7, batch 7 (extras27): source-overlap matrix
-    "source_minhash_overlap",
-    # new in round 7, batch 8 (extras28): CBO join-cardinality audit
-    "join_cardinality_audit",
-    # new in round 7, batch 9 (extras29): shuffle-skew advisor
-    "join_skew_advisor",
-    # new in round 7, batch 10 (extras30): corpus-LM perplexity filter
-    "doc_lm_cross_entropy",
-    # new in round 7, batch 12 (extras32): KMV union-merge parity gate
-    "kmv_merge_parity",
-    # new in round 7, batch 13 (extras33): sampled-quantile audit
-    "quantile_sample_error",
-    # new in round 7, batch 11 (extras31): KMV distinct-count sketch
-    "ndv_kmv_sketch_error",
-    # CHANGED in round 7: corpus-sized LSH bucket ladder (the 100×
-    # saturation fix) — must be re-driver-checked while changed
+    # new in round 8 (extras34)
+    "percentile_sketch_error",
+    "pagerank_residual_audit",
+    "cc_superstep_convergence",
+    "join_skew_salted_exec",
+    # changed in round 8 — re-driver-checked while changed
+    "jaccard_prefix_filter_pairs",
     "dedup_embedding_cosine",
-    # CHANGED in round 7: basket self-join (AQE was broadcasting a
-    # fact-sized build side) replaced by scan-side array pairing —
-    # re-driver-checked while changed
-    "copurchase_pairs",
-    # CHANGED in round 7: per-group percentile_disc cuts collapsed to
-    # the single-buffer array form (extras33 precedent) —
-    # re-driver-checked while changed (histogram_strategy_compare,
-    # changed the same way, is already in the never-checked block)
-    "winsorize_prices",
-    # never driver-checked (12): closes the registry to 275/275
-    "zipf_vocab_slope",
-    "gini_impurity_feature_split",
-    "segment_drift_decomposition",
-    "dedup_minhash_pr",
-    "ngram_novelty_rate",
-    "dictionary_encoding_planner",
-    "runs_test_daily_revenue",
-    "mann_kendall_trend",
-    "changepoint_single_split",
-    "subsample_mean_ci_hash",
-    "histogram_strategy_compare",
-    "powerlaw_alpha_user_activity",
-    # stalest green rows: round-1 vintage, unrefreshed since r1
-    "anti_join_no_orders",
-    "union_all_entities",
-    "except_nations",
-    "name_regex_strip",
-    "date_parse_multi",
-    "hybrid_two_seasons",
-    "group_agg_basic",
-    "count_distinct_agg",
-    "rollup_region_nation",
-    # (rank_function_surface yielded its slot to source_minhash_overlap,
-    # and rest_days_lag, moving_avg_frame, rank_customers_by_balance,
-    # lead_and_share_of_total, conditional_agg, zscore_by_group,
-    # grouping_sets_status_priority, cube_status_priority yielded
-    # theirs to the extras28-32 batches + the copurchase_pairs rewrite —
-    # new/changed queries must be driver-checked while new. All of them
-    # rejoin the stale rotation next round along with
-    # dedup_exact, dedup_exact_normalized, doc_fingerprint,
-    # minhash_signatures, dedup_minhash_lsh, text_token_stats,
-    # bpe_token_count, text_quality_score, lang_id_heuristic,
-    # embedding_topk_cosine and the remaining r1 vintage.)
+    "dedup_threshold_frontier",
+    "pagerank_trade_network",
+    # round-1-vintage rows (all 27 that remain)
+    "bpe_token_count",
+    "conditional_agg",
+    "cube_status_priority",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_first_wins",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "embedding_topk_cosine",
+    "grouping_sets_status_priority",
+    "haversine_travel",
+    "intersect_nations",
+    "label_centroids",
+    "lang_id_heuristic",
+    "lead_and_share_of_total",
+    "minhash_signatures",
+    "moving_avg_frame",
+    "rank_customers_by_balance",
+    "rank_function_surface",
+    "rest_days_lag",
+    "sort_limit_topn",
+    "text_quality_score",
+    "text_token_stats",
+    "window_top2_per_key",
+    "zscore_by_group",
+    # round-2-vintage rows, dedup/text family first (15 of 38; the
+    # remaining 23 rotate in round 9)
+    "dedup_connected_components",
+    "dedup_simhash",
+    "simhash_signatures",
+    "jaccard_shingle_pairs",
+    "tfidf_top_terms",
+    "multimodal_binary_meta",
+    "json_roundtrip",
+    "data_quality_profile",
+    "forward_fill",
+    "as_of_join",
+    "bootstrap_priors",
+    "fractional_odds",
+    "cohort_retention",
+    "percentile_prices",
+    "rolling_anomaly_score",
 )
 
 
