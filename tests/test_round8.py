@@ -253,3 +253,26 @@ def test_plan_counters_deterministic_and_nonzero(spark, sf_dir):
     df2 = REGISTRY["group_agg_basic"].fn(spark, sf_dir)
     df2.write.format("noop").mode("overwrite").save()
     assert bench._plan_hash(bench._plan_counters(df2)) == bench._plan_hash(c1)
+
+
+def test_robust_zscore_sketch_parity_frontier(spark, sf_dir):
+    """Decision-level substitution audit: sampled cuts UNDER-flag
+    (precision stays >= 0.97 on every row) and the worst-group recall
+    improves monotonically with sample size k."""
+    from ucl_data_pipeline_spark.plans.extras34 import (
+        _RZ_KS,
+        robust_zscore_sketch_parity,
+    )
+
+    rows = robust_zscore_sketch_parity(spark, sf_dir).collect()
+    assert len(rows) == 5 * len(_RZ_KS)
+    by_k = {}
+    for r in rows:
+        assert r["precision_vs_exact"] is None or (
+            r["precision_vs_exact"] >= 0.97
+        ), (r["event_type"], r["sample_k"])
+        by_k.setdefault(r["sample_k"], []).append(r["recall_vs_exact"])
+    worst = [min(by_k[k]) for k in sorted(by_k)]
+    assert worst == sorted(worst), (
+        "worst-group recall must improve with sample size"
+    )

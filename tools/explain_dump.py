@@ -182,6 +182,18 @@ SHOWCASE = [
      "sample is a TakeOrdered bottom-k by row-key hash — the sampled "
      "data is never shuffled; exact percentile_disc is the "
      "audited-against full pass"),
+    ("percentile_sketch_error", "per-group bottom-k sample from ONE "
+     "window rank over (group, digest); both sampled cuts (median, "
+     "then MAD) run over k-bounded buffers — the substitution that "
+     "replaces robust_zscore's two full-group buffers at scale"),
+    ("pagerank_residual_audit", "convergence audit: three consecutive "
+     "rank frames from the SAME lazy chain, differenced via 25-row "
+     "broadcast joins — one extra superstep of plan, no new edge "
+     "shuffles"),
+    ("join_skew_salted_exec", "advisor-prescribed salting in one DAG: "
+     "fan-out as a broadcast singleton, dimension replicated by "
+     "explode(sequence(0, buckets-1)), forced sort-merge join — "
+     "salted result ≡ unsalted oracle"),
 ]
 
 

@@ -101,7 +101,7 @@ def register(
 # round-1-vintage rows — every query whose only driver evidence
 # predates round 2 (the round-7 digest re-keying and lambda-CSE
 # rewrites changed many of their physical plans: dedup_exact,
-# bpe_token_count, the minhash/text families); (4) 15 of the 38
+# bpe_token_count, the minhash/text families); (4) 14 of the 38
 # round-2-vintage rows, dedup/text-family first (the rest rotate in
 # round 9, after which no green row predates round 3).
 # Everything later in the dict has a green row from rounds 3-7 and
@@ -110,6 +110,7 @@ def register(
 EXPORT_FIRST: tuple[str, ...] = (
     # new in round 8 (extras34)
     "percentile_sketch_error",
+    "robust_zscore_sketch_parity",
     "pagerank_residual_audit",
     "cc_superstep_convergence",
     "join_skew_salted_exec",
@@ -162,7 +163,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "fractional_odds",
     "cohort_retention",
     "percentile_prices",
-    "rolling_anomaly_score",
+    # (rolling_anomaly_score yielded its slot to
+    # robust_zscore_sketch_parity — new queries are driver-checked
+    # while new; it rejoins the r2 rotation in round 9.)
 )
 
 
