@@ -276,3 +276,53 @@ def test_robust_zscore_sketch_parity_frontier(spark, sf_dir):
     assert worst == sorted(worst), (
         "worst-group recall must improve with sample size"
     )
+
+
+def test_percentile_sketch_python_reference(spark, sf_dir):
+    """Third-engine check (pure Python, no Spark/DuckDB): rebuild the
+    identical per-group bottom-256 digest sample from the parquet
+    file, recompute sample median and MAD as percentile_disc order
+    statistics, and require bit-equality with the Spark output —
+    proving the estimator (not a tolerance band) one engine deeper
+    than the oracle."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ucl_data_pipeline_spark.plans.extras34 import (
+        _PS_K,
+        _PS_TAG,
+        percentile_sketch_error,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    ).to_pydict()
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(f"{_PS_TAG}:{s}".encode()).hexdigest()[:12], 16)
+
+    groups: dict[str, list[tuple[int, int, float]]] = {}
+    for eid, et, v in zip(t["event_id"], t["event_type"], t["value"]):
+        groups.setdefault(et, []).append((h48(str(eid)), eid, v))
+
+    def pdisc(sorted_vals: list[float], q: float) -> float:
+        import math
+
+        k = math.ceil(q * len(sorted_vals))
+        return sorted_vals[max(k, 1) - 1]
+
+    expected = {}
+    for et, rows in groups.items():
+        rows.sort()
+        samp = [v for _, _, v in rows[:_PS_K]]
+        med = pdisc(sorted(samp), 0.5)
+        mad = pdisc(sorted(abs(v - med) for v in samp), 0.5)
+        expected[et] = (med, mad)
+
+    for r in percentile_sketch_error(spark, sf_dir).collect():
+        med, mad = expected[r["event_type"]]
+        assert r["sample_median"] == med, r["event_type"]
+        assert r["sample_mad"] == mad, r["event_type"]
