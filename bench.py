@@ -139,14 +139,17 @@ _PLAN_TOKENS = (
 )
 
 
-def _plan_counters(df) -> dict[str, int]:
+def _plan_counters(df) -> dict[str, int] | None:
     """Nonzero token counts of the POST-EXECUTION physical plan (AQE
     final where applicable) — the per-query plan fingerprint archived
-    next to its wall-time."""
+    next to its wall-time. None = extraction failed (the query is then
+    excluded from plan-based auto-clearing rather than recorded with a
+    fake pure-scan fingerprint); an EMPTY dict is a real fingerprint
+    (no exchange/join/agg tokens — the pure-scan shape)."""
     try:
         s = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
-        return {}
+        return None
     out = {t.strip(): s.count(t) for t in _PLAN_TOKENS}
     return {k: v for k, v in out.items() if v}
 
@@ -210,8 +213,11 @@ def _flag_and_update_history(
         ref = statistics.median(prior) if len(prior) >= 3 else None
         exceeds = ref is not None and ref > 0 and r > REGRESSION_RATIO * ref
         below_floor = raw_sec < MIN_FLAG_SECONDS or r < MIN_FLAG_NORM
+        # An EMPTY counter dict is still a fingerprint ("no exchange /
+        # join / agg tokens at all" — the pure-scan shape); only a
+        # missing entry (query not measured this run) yields None.
         cur_plan = (plans or {}).get(name)
-        cur_hash = _plan_hash(cur_plan) if cur_plan else None
+        cur_hash = _plan_hash(cur_plan) if cur_plan is not None else None
         plan_unchanged = (
             cur_hash is not None and plan_store.get(name) == cur_hash
         )
@@ -422,7 +428,9 @@ def _run_in_process(
                 break
         timings[name] = round(best, 3)
         # Post-execution fingerprint (AQE-final): the last run's df.
-        plans[name] = _plan_counters(df)
+        counters = _plan_counters(df)
+        if counters is not None:
+            plans[name] = counters
     return timings, calib, plans
 
 
