@@ -326,3 +326,26 @@ def test_percentile_sketch_python_reference(spark, sf_dir):
         med, mad = expected[r["event_type"]]
         assert r["sample_median"] == med, r["event_type"]
         assert r["sample_mad"] == mad, r["event_type"]
+
+
+def test_zorder_beats_linear_on_2d_probes(spark, sf_dir):
+    """Structural contract of the layout audit: on BOTH probe windows
+    the Z-ordered layout reads no more files and strictly less data
+    than the linear sort, and the Morton-aligned window collapses to
+    a single file with amplification exactly 1.0."""
+    from ucl_data_pipeline_spark.plans.extras35 import zorder_layout_audit
+
+    rows = {
+        (r["layout"], r["probe"]): r
+        for r in zorder_layout_audit(spark, sf_dir).collect()
+    }
+    assert len(rows) == 4
+    for probe in ("aligned_32x32", "unaligned_32x32"):
+        lin, z = rows[("linear", probe)], rows[("zorder", probe)]
+        assert lin["rows_matched"] == z["rows_matched"]
+        assert z["n_files_hit"] <= lin["n_files_hit"]
+        assert z["rows_scanned"] < lin["rows_scanned"]
+        assert z["scan_amplification"] < lin["scan_amplification"]
+    al = rows[("zorder", "aligned_32x32")]
+    assert al["n_files_hit"] == 1
+    assert al["scan_amplification"] == 1.0

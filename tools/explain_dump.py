@@ -194,6 +194,10 @@ SHOWCASE = [
      "fan-out as a broadcast singleton, dimension replicated by "
      "explode(sequence(0, buckets-1)), forced sort-merge join — "
      "salted result ≡ unsalted oracle"),
+    ("zorder_layout_audit", "layout planning: one fact scan to a "
+     "≤65,536-cell (qx, qy) hash-agg; Morton codes, file boxes, and "
+     "all pruning statistics derive from that bounded cell table — "
+     "nothing fact-sized downstream"),
 ]
 
 
