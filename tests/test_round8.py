@@ -349,3 +349,28 @@ def test_zorder_beats_linear_on_2d_probes(spark, sf_dir):
     al = rows[("zorder", "aligned_32x32")]
     assert al["n_files_hit"] == 1
     assert al["scan_amplification"] == 1.0
+
+
+def test_theta_intersection_sketch_properties(spark, sf_dir):
+    """The theta-sketch intersection audit must exercise the REAL
+    sketch branch (theta < U on every pair at this SF), be
+    near-unbiased in aggregate, and keep the median relative error
+    inside the documented band for this overlap regime."""
+    import statistics
+
+    from ucl_data_pipeline_spark.plans.extras36 import (
+        _K,
+        _U,
+        ndv_intersection_sketch_error,
+    )
+
+    rows = ndv_intersection_sketch_error(spark, sf_dir).collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    for r in rows:
+        assert r["theta"] < _U, "sketch branch must be exercised"
+        assert 0 <= r["n_common"] <= _K
+        assert r["est_intersection"] >= 0.0
+        assert r["exact_intersection"] > 0
+    rels = [r["rel_error"] for r in rows]
+    assert abs(statistics.fmean(rels)) <= 0.15, "aggregate bias"
+    assert statistics.median(abs(x) for x in rels) <= 0.6, "median band"
