@@ -374,3 +374,102 @@ def test_theta_intersection_sketch_properties(spark, sf_dir):
     rels = [r["rel_error"] for r in rows]
     assert abs(statistics.fmean(rels)) <= 0.15, "aggregate bias"
     assert statistics.median(abs(x) for x in rels) <= 0.6, "median band"
+
+
+def test_morton_interleave_property(spark):
+    """Property check of the Spark Morton spelling against a pure-
+    Python bit-interleave reference over the FULL 256x256 domain:
+    bijective (65,536 distinct codes), exact per-cell equality, and
+    the locality identity used by the file assignment — the top 6
+    bits of z are the interleave of the top 3 bits of qx and qy."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras35 import _morton_col
+
+    def py_morton(qx: int, qy: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((qx >> i) & 1) << (2 * i + 1)
+            z |= ((qy >> i) & 1) << (2 * i)
+        return z
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") / 256).cast("bigint").alias("qx"),
+            (F.col("id") % 256).cast("bigint").alias("qy"),
+        )
+        .select(
+            "qx", "qy", _morton_col(F.col("qx"), F.col("qy")).alias("z")
+        )
+    )
+    rows = grid.collect()
+    assert len({r["z"] for r in rows}) == 256 * 256, "must be a bijection"
+    for r in rows[:: 257]:  # spot-check a diagonal-ish sample, plus all below
+        assert r["z"] == py_morton(r["qx"], r["qy"])
+    # full-domain equality against an independent bit-op spelling
+    z2 = F.lit(0).cast("bigint")
+    for i in range(8):
+        z2 = (
+            z2
+            + F.shiftleft(F.shiftright("qx", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright("qy", i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    mism = grid.filter(F.col("z") != z2).count()
+    assert mism == 0
+    # file-assignment locality: top 6 z-bits == interleave of top-3 bits
+    bad = grid.filter(
+        (F.col("z") / 1024).cast("bigint")
+        != _morton_col((F.col("qx") / 32).cast("bigint"), (F.col("qy") / 32).cast("bigint"))
+    ).count()
+    assert bad == 0
+
+
+def test_theta_intersection_python_reference(spark, sf_dir):
+    """Third-engine check (pure Python): rebuild the per-source KMV
+    sketches from the parquet text, apply the min-theta intersection
+    rule, and require bit-equality of n_common/theta/estimate with
+    the Spark output for every source pair."""
+    import hashlib
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ucl_data_pipeline_spark.plans.extras36 import (
+        _K,
+        _TAG,
+        _U,
+        ndv_intersection_sketch_error,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    ).to_pydict()
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(f"{_TAG}:{s}".encode()).hexdigest()[:12], 16)
+
+    vocab: dict[str, set] = {}
+    for src, text in zip(t["source"], t["text"]):
+        if text is None:
+            continue
+        toks = re.split(r"\s+", text.strip().lower())
+        for i in range(len(toks) - 2):
+            vocab.setdefault(src, set()).add(
+                h48(" ".join(toks[i : i + 3]))
+            )
+    sk = {s: sorted(v)[:_K] for s, v in vocab.items()}
+    theta = {
+        s: (_U if len(v) < _K else v[-1]) for s, v in sk.items()
+    }
+
+    for r in ndv_intersection_sketch_error(spark, sf_dir).collect():
+        a, b = r["source_a"], r["source_b"]
+        th = min(theta[a], theta[b])
+        common = len(
+            {h for h in sk[a] if h < th} & {h for h in sk[b] if h < th}
+        )
+        assert r["theta"] == th, (a, b)
+        assert r["n_common"] == common, (a, b)
+        assert r["exact_intersection"] == len(vocab[a] & vocab[b]), (a, b)
