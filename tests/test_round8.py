@@ -473,3 +473,46 @@ def test_theta_intersection_python_reference(spark, sf_dir):
         assert r["theta"] == th, (a, b)
         assert r["n_common"] == common, (a, b)
         assert r["exact_intersection"] == len(vocab[a] & vocab[b]), (a, b)
+
+
+def test_mv_incremental_equals_recompute(spark, sf_dir):
+    """The incremental MV path must equal direct recomputation over
+    the effective row set (computed independently here, not via the
+    oracle), and the synthesized CDC batch must exercise both inserts
+    and deletes."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras37 import (
+        mv_incremental_agg_parity,
+    )
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_ins = o.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_del = o.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0)
+    ).count()
+    assert n_ins > 0 and n_del > 0, "CDC must contain both ops"
+
+    effective = o.filter(
+        ((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 != 0))
+        | (F.col("o_orderkey") % 7 == 0)
+    )
+    truth = {
+        r["custkey"]: (r["n"], r["s"])
+        for r in effective.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r["custkey"]: (r["n_orders"], r["spend"])
+        for r in mv_incremental_agg_parity(spark, sf_dir).collect()
+    }
+    assert got == truth, "incremental maintenance must equal recomputation"
