@@ -516,3 +516,43 @@ def test_mv_incremental_equals_recompute(spark, sf_dir):
         for r in mv_incremental_agg_parity(spark, sf_dir).collect()
     }
     assert got == truth, "incremental maintenance must equal recomputation"
+
+
+def test_canonical_selection_prefers_quality_over_min_id(spark, sf_dir):
+    """The kept doc must be the quality-argmax of its component (ties
+    to smallest doc_id), and on this corpus the decision must differ
+    from min-doc_id keeper selection for at least one component —
+    otherwise the operator adds nothing over pairwise dedup."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras38 import cc_canonical_selection
+    from ucl_data_pipeline_spark.plans.llm_ops import (
+        dedup_connected_components,
+        text_quality_score,
+    )
+
+    rows = cc_canonical_selection(spark, sf_dir).collect()
+    assert rows, "fixture must contain multi-member components"
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    members: dict = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    non_min = 0
+    for r in rows:
+        mem = members[r["component_id"]]
+        assert len(mem) == r["n_members"] >= 2
+        assert r["kept_doc"] in mem
+        best = min(mem, key=lambda d: (-q[d], d))
+        assert r["kept_doc"] == best, r["component_id"]
+        if r["kept_doc"] != min(mem):
+            non_min += 1
+    assert non_min > 0, "quality-argmax must differ from min-id somewhere"

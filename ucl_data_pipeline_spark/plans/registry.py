@@ -101,7 +101,7 @@ def register(
 # round-1-vintage rows — every query whose only driver evidence
 # predates round 2 (the round-7 digest re-keying and lambda-CSE
 # rewrites changed many of their physical plans: dedup_exact,
-# bpe_token_count, the minhash/text families); (4) 11 of the 38
+# bpe_token_count, the minhash/text families); (4) 10 of the 38
 # round-2-vintage rows, dedup/text-family first (the rest rotate in
 # round 9, after which no green row predates round 3).
 # Everything later in the dict has a green row from rounds 3-7 and
@@ -117,6 +117,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "ndv_intersection_sketch_error",
     # new in round 8 (extras37): incremental MV maintenance parity
     "mv_incremental_agg_parity",
+    # new in round 8 (extras38): duplicate-cluster canonicalization
+    "cc_canonical_selection",
     "pagerank_residual_audit",
     "cc_superstep_convergence",
     "join_skew_salted_exec",
@@ -165,13 +167,13 @@ EXPORT_FIRST: tuple[str, ...] = (
     "data_quality_profile",
     "forward_fill",
     "as_of_join",
-    "bootstrap_priors",
-    # (fractional_odds, cohort_retention, percentile_prices and
-    # rolling_anomaly_score yielded their slots to the four
-    # end-of-round registrations robust_zscore_sketch_parity,
-    # zorder_layout_audit, ndv_intersection_sketch_error and
-    # mv_incremental_agg_parity — new queries are driver-checked
-    # while new; all four rejoin the r2 rotation in round 9.)
+    # (bootstrap_priors, fractional_odds, cohort_retention,
+    # percentile_prices and rolling_anomaly_score yielded their slots
+    # to the five end-of-round registrations
+    # robust_zscore_sketch_parity, zorder_layout_audit,
+    # ndv_intersection_sketch_error, mv_incremental_agg_parity and
+    # cc_canonical_selection — new queries are driver-checked while
+    # new; all five rejoin the r2 rotation in round 9.)
 )
 
 
