@@ -1,0 +1,111 @@
+"""Round-8 batch 6 depth tests: k-core fixpoint, attribution
+accounting identity, and pure-Python third-engine references for the
+t-closeness TVD and the binned one-vs-rest AUC (both engines share the
+SQL-ish spelling; the numpy/pandas reference shares neither engine's
+code path, so agreement rules out a common-mode spelling error)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_kcore_six_rounds_is_a_fixpoint(spark):
+    """kcore_copurchase freezes the superstep count at 6; the claim
+    that 6 is PAST the fixpoint (so the output is the true 2-core, not
+    a truncation) must hold at sf0.01 where peeling is non-trivial
+    (3 measured peel rounds): round 5 and round 6 outputs are
+    identical, and peeling actually removed nodes vs round 0."""
+    from ucl_data_pipeline_spark.plans.extras39 import kcore_peel
+
+    sf = "/root/testdata/sf0.01"
+    r5 = {tuple(r) for r in kcore_peel(spark, sf, 5).collect()}
+    r6 = {tuple(r) for r in kcore_peel(spark, sf, 6).collect()}
+    r0 = {tuple(r) for r in kcore_peel(spark, sf, 0).collect()}
+    assert r5 == r6, "superstep 6 is not a fixpoint at sf0.01"
+    assert len(r0) > len(r6), "peeling removed nothing — k/support too low"
+
+
+def test_attribution_columns_sum_to_total_conversion_value(spark, sf_dir):
+    """Every attribution model is an ALLOCATION of conversion value:
+    with the '(unattributed)' bucket included, each of the four model
+    columns must sum (across channels) to the total purchase value.
+    Tolerance covers only the per-term ROUND(...,12)/ROUND(...,6)
+    quantization."""
+    from ucl_data_pipeline_spark.plans.extras39 import attribution_multi_touch
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    total = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+        .collect()[0][0]
+    )
+    rows = attribution_multi_touch(spark, sf_dir).collect()
+    for col in ("td_value", "linear_value", "first_value", "last_value"):
+        got = sum(r[col] for r in rows)
+        assert abs(got - total) < 1e-4, (col, got, total)
+
+
+def test_t_closeness_matches_pandas_reference(spark, sf_dir):
+    """TVD per QI group recomputed straight from the parquet with
+    pandas (float formula, no integer restatement) must agree with the
+    exact-integer Spark spelling to the rounding the query emits."""
+    from ucl_data_pipeline_spark.plans.extras39 import t_closeness_check
+
+    df = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    df["bal_band"] = np.floor(df.c_acctbal / 2000).astype(int)
+    n = len(df)
+    glob = df.c_mktsegment.value_counts() / n
+    got = {
+        (r.c_nationkey, r.bal_band): (r.group_size, r.tvd)
+        for r in t_closeness_check(spark, sf_dir).collect()
+    }
+    groups = df.groupby(["c_nationkey", "bal_band"])
+    assert len(got) == groups.ngroups
+    for (nat, band), sub in groups:
+        p = sub.c_mktsegment.value_counts() / len(sub)
+        tvd = 0.5 * sum(
+            abs(p.get(s, 0.0) - glob[s]) for s in glob.index
+        )
+        size, got_tvd = got[(int(nat), int(band))]
+        assert size == len(sub)
+        assert abs(got_tvd - tvd) < 1e-6, (nat, band, got_tvd, tvd)
+
+
+def test_auc_matches_bruteforce_pairwise(spark, sf_dir):
+    """The grain-count AUC must equal the textbook pairwise
+    definition P(b_pos > b_neg) + ½P(=) computed by brute force over
+    the quantized buckets (numpy outer comparison — viable at
+    sf0.001's doc count, independent of both engines' window/agg
+    spellings)."""
+    from ucl_data_pipeline_spark.plans.extras39 import (
+        _AUC_BUCKETS,
+        auc_quality_langid,
+    )
+    from ucl_data_pipeline_spark.plans.llm_ops import text_quality_score
+
+    q = {
+        r.doc_id: r.quality_score
+        for r in text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .collect()
+        if r.quality_score is not None
+    }
+    lang = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    lang = lang[lang.doc_id.isin(q)]
+    b = np.floor(np.array([q[d] for d in lang.doc_id]) * _AUC_BUCKETS).astype(
+        int
+    )
+    langs = lang.lang.to_numpy()
+    for r in auc_quality_langid(spark, sf_dir).collect():
+        pos = b[langs == r.lang]
+        neg = b[langs != r.lang]
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+        cmp = pos[:, None] - neg[None, :]
+        auc = ((cmp > 0).sum() + 0.5 * (cmp == 0).sum()) / (
+            len(pos) * len(neg)
+        )
+        assert abs(r.auc - auc) < 1e-6, (r.lang, r.auc, auc)
+        assert abs(r.gini - (2 * auc - 1)) < 1e-6

@@ -108,6 +108,12 @@ def register(
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
 EXPORT_FIRST: tuple[str, ...] = (
+    # new in round 8 (extras39): privacy triad completion, graph
+    # peeling, multi-touch attribution, quality-vs-language AUC
+    "t_closeness_check",
+    "kcore_copurchase",
+    "attribution_multi_touch",
+    "auc_quality_langid",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -163,17 +169,16 @@ EXPORT_FIRST: tuple[str, ...] = (
     "jaccard_shingle_pairs",
     "tfidf_top_terms",
     "multimodal_binary_meta",
-    "json_roundtrip",
-    "data_quality_profile",
-    "forward_fill",
-    "as_of_join",
     # (bootstrap_priors, fractional_odds, cohort_retention,
-    # percentile_prices and rolling_anomaly_score yielded their slots
-    # to the five end-of-round registrations
+    # percentile_prices, rolling_anomaly_score, json_roundtrip,
+    # data_quality_profile, forward_fill and as_of_join yielded their
+    # slots to the nine end-of-round registrations
     # robust_zscore_sketch_parity, zorder_layout_audit,
-    # ndv_intersection_sketch_error, mv_incremental_agg_parity and
-    # cc_canonical_selection — new queries are driver-checked while
-    # new; all five rejoin the r2 rotation in round 9.)
+    # ndv_intersection_sketch_error, mv_incremental_agg_parity,
+    # cc_canonical_selection, t_closeness_check, kcore_copurchase,
+    # attribution_multi_touch and auc_quality_langid — new queries
+    # are driver-checked while new; all nine displaced r2 rows rejoin
+    # the rotation in round 9.)
 )
 
 
