@@ -109,3 +109,66 @@ def test_auc_matches_bruteforce_pairwise(spark, sf_dir):
         )
         assert abs(r.auc - auc) < 1e-6, (r.lang, r.auc, auc)
         assert abs(r.gini - (2 * auc - 1)) < 1e-6
+
+
+def test_clustering_coeff_matches_bruteforce(spark, sf_dir):
+    """Per-node triangles and coefficients recomputed by brute-force
+    set intersection over the same support>=2 edge list (pure Python,
+    no degree ordering, no SQL) — agreement proves the compact-forward
+    orientation counts every triangle exactly once."""
+    from ucl_data_pipeline_spark.plans.extras40 import (
+        clustering_coeff_copurchase,
+    )
+
+    df = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    pair_count: Counter = Counter()
+    for _, grp in df.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp.l_partkey), 2):
+            pair_count[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), w in pair_count.items():
+        if w >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    rows = clustering_coeff_copurchase(spark, sf_dir).collect()
+    assert len(rows) == len(adj)
+    for r in rows:
+        nbrs = adj[r.part]
+        d = len(nbrs)
+        tri = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        cc = 2.0 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert r.degree == d and r.n_triangles == tri, (r.part, r, d, tri)
+        assert abs(r.clustering_coeff - cc) < 1e-6
+
+
+def test_markov_stationary_converged_and_matches_numpy(spark, sf_dir):
+    """The 8-step power iterate must (a) carry a last-step residual
+    ~0 (the convergence witness the abs_delta column exists for),
+    (b) sum to ~1, and (c) match an independent numpy power iteration
+    from the same registered transition matrix."""
+    from ucl_data_pipeline_spark.plans.extras3 import event_transition_matrix
+    from ucl_data_pipeline_spark.plans.extras40 import (
+        _MARKOV_ITERS,
+        markov_stationary_events,
+    )
+
+    tm = event_transition_matrix(spark, sf_dir).collect()
+    states = sorted({r.from_type for r in tm})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for r in tm:
+        P[idx[r.from_type], idx[r.to_type]] = r.p_transition
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(_MARKOV_ITERS):
+        pi = pi @ P
+    rows = markov_stationary_events(spark, sf_dir).collect()
+    assert len(rows) == len(states)
+    assert abs(sum(r.stationary_p for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.abs_delta < 1e-9, "power method did not converge"
+        assert abs(r.stationary_p - pi[idx[r.event_type]]) < 1e-5

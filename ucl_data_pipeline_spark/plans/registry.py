@@ -114,6 +114,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "kcore_copurchase",
     "attribution_multi_touch",
     "auc_quality_langid",
+    # new in round 8 (extras40): clustering coefficient at fact-graph
+    # scale, Markov steady state
+    "clustering_coeff_copurchase",
+    "markov_stationary_events",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -167,18 +171,17 @@ EXPORT_FIRST: tuple[str, ...] = (
     "dedup_simhash",
     "simhash_signatures",
     "jaccard_shingle_pairs",
-    "tfidf_top_terms",
-    "multimodal_binary_meta",
     # (bootstrap_priors, fractional_odds, cohort_retention,
     # percentile_prices, rolling_anomaly_score, json_roundtrip,
-    # data_quality_profile, forward_fill and as_of_join yielded their
-    # slots to the nine end-of-round registrations
-    # robust_zscore_sketch_parity, zorder_layout_audit,
-    # ndv_intersection_sketch_error, mv_incremental_agg_parity,
-    # cc_canonical_selection, t_closeness_check, kcore_copurchase,
-    # attribution_multi_touch and auc_quality_langid — new queries
-    # are driver-checked while new; all nine displaced r2 rows rejoin
-    # the rotation in round 9.)
+    # data_quality_profile, forward_fill, as_of_join, tfidf_top_terms
+    # and multimodal_binary_meta yielded their slots to the eleven
+    # end-of-round registrations robust_zscore_sketch_parity,
+    # zorder_layout_audit, ndv_intersection_sketch_error,
+    # mv_incremental_agg_parity, cc_canonical_selection,
+    # t_closeness_check, kcore_copurchase, attribution_multi_touch,
+    # auc_quality_langid, clustering_coeff_copurchase and
+    # markov_stationary_events — new queries are driver-checked while
+    # new; all displaced r2 rows rejoin the rotation in round 9.)
 )
 
 
