@@ -172,3 +172,107 @@ def test_markov_stationary_converged_and_matches_numpy(spark, sf_dir):
     for r in rows:
         assert r.abs_delta < 1e-9, "power method did not converge"
         assert abs(r.stationary_p - pi[idx[r.event_type]]) < 1e-5
+
+
+def test_reciprocal_best_match_properties_and_reconstruction(spark, sf_dir):
+    """RBM output must (a) be reconstructible from the scored
+    candidate list by an independent python argmax+mutuality pass and
+    (b) be a PARTIAL MATCHING: mutual-best pairs are disjoint — no
+    document appears in two output pairs."""
+    from ucl_data_pipeline_spark.plans.extras41 import reciprocal_best_match
+    from ucl_data_pipeline_spark.plans.llm_ops import (
+        _rep_features,
+        lsh_candidate_pairs,
+    )
+
+    feats = _rep_features(spark, sf_dir)
+    cand = lsh_candidate_pairs(feats)
+    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
+    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
+    inter = F.size(F.array_intersect("fa", "fb"))
+    union = F.size("fa") + F.size("fb") - inter
+    scored = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("j"),
+        )
+        .collect()
+    )
+    best: dict = {}
+    for r in scored:
+        for doc, partner in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            cur = best.get(doc)
+            if cur is None or (-r.j, partner) < (-cur[1], cur[0]):
+                best[doc] = (partner, r.j)
+    expect = {
+        (d, p[0], round(p[1], 6))
+        for d, p in best.items()
+        if d < p[0] and best.get(p[0], (None,))[0] == d
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in reciprocal_best_match(spark, sf_dir).collect()
+    }
+    assert got == expect
+    seen: set = set()
+    for a, b, _ in got:
+        assert a not in seen and b not in seen, "RBM pairs must be disjoint"
+        seen.update((a, b))
+
+
+def test_bag_jaccard_matches_python_token_bags(spark, sf_dir):
+    """Bag and set Jaccard recomputed from raw python token COUNTERS
+    (str.lower().split() — the python twin of TX.tokens) over the same
+    candidate pairs; also asserts bag_jaccard <= set_jaccard is NOT
+    required (repetition can push either way) but both are in [0,1]."""
+    from collections import Counter
+
+    from ucl_data_pipeline_spark.plans.extras41 import bag_jaccard_pairs
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    rep = docs.loc[docs.groupby("text").doc_id.idxmin()]
+    bags = {
+        r.doc_id: Counter(str(r.text).lower().strip().split())
+        for r in rep.itertuples()
+    }
+    for r in bag_jaccard_pairs(spark, sf_dir).collect():
+        ca, cb = bags[r.doc_a], bags[r.doc_b]
+        smin = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+        bag = smin / (sum(ca.values()) + sum(cb.values()) - smin)
+        inter = len(ca.keys() & cb.keys())
+        st = inter / (len(ca) + len(cb) - inter)
+        assert abs(r.bag_jaccard - bag) < 1e-6, (r.doc_a, r.doc_b)
+        assert abs(r.set_jaccard - st) < 1e-6
+        assert 0.0 <= r.bag_jaccard <= 1.0 and 0.0 <= r.set_jaccard <= 1.0
+
+
+def test_quality_gate_disparity_structure_and_pandas_rates(spark, sf_dir):
+    """Per threshold: exactly one language carries impact_ratio 1.0,
+    all ratios are in (0, 1], the flag equals ratio < 0.8, and the
+    pass counts match a pandas recount from the registered quality
+    scores."""
+    from ucl_data_pipeline_spark.plans.extras41 import quality_gate_disparity
+    from ucl_data_pipeline_spark.plans.llm_ops import text_quality_score
+
+    q = {
+        r.doc_id: r.quality_score
+        for r in text_quality_score(spark, sf_dir).collect()
+        if r.quality_score is not None
+    }
+    lang = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    lang = lang[lang.doc_id.isin(q)]
+    rows = quality_gate_disparity(spark, sf_dir).collect()
+    by_thresh: dict = {}
+    for r in rows:
+        by_thresh.setdefault(r.threshold, []).append(r)
+        sub = lang[lang.lang == r.lang]
+        n_pass = sum(q[d] >= r.threshold for d in sub.doc_id)
+        assert r.n_docs == len(sub) and r.n_pass == n_pass, r
+        assert 0.0 < r.impact_ratio <= 1.0
+        assert r.below_four_fifths == (r.impact_ratio < 0.8)
+    assert len(by_thresh) == 2
+    for t, grp in by_thresh.items():
+        assert sum(1 for r in grp if r.impact_ratio == 1.0) == 1, t

@@ -109,10 +109,17 @@ def sign_bucket(vec: ColumnOrName, n_bits: int = 8) -> Column:
     first ``n_bits`` components. A fixed-hyperplane random-projection
     LSH (planes = coordinate axes) — coarse but reproducible across
     engines; at scale, bucket-join then refine within buckets.
+
+    try_element_at (not element_at): under ANSI mode element_at throws
+    INVALID_ARRAY_INDEX for vectors shorter than n_bits, while the
+    DuckDB spelling (``v[i+1] > 0``) yields NULL and falls to the 0
+    branch; try_element_at returns NULL in both ANSI modes, matching.
     """
     v = as_double(vec)
     bits = [
-        F.when(F.element_at(v, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        F.when(F.try_element_at(v, F.lit(i + 1)) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
         for i in range(n_bits)
     ]
     total = bits[0]

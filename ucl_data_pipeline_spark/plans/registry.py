@@ -118,6 +118,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     # scale, Markov steady state
     "clustering_coeff_copurchase",
     "markov_stationary_events",
+    # new in round 8 (extras41): mutual-best-match linkage, bag
+    # Jaccard, quality-gate disparity audit
+    "reciprocal_best_match",
+    "bag_jaccard_pairs",
+    "quality_gate_disparity",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -168,20 +173,20 @@ EXPORT_FIRST: tuple[str, ...] = (
     # round-2-vintage rows, dedup/text family first (15 of 38; the
     # remaining 23 rotate in round 9)
     "dedup_connected_components",
-    "dedup_simhash",
-    "simhash_signatures",
-    "jaccard_shingle_pairs",
     # (bootstrap_priors, fractional_odds, cohort_retention,
     # percentile_prices, rolling_anomaly_score, json_roundtrip,
-    # data_quality_profile, forward_fill, as_of_join, tfidf_top_terms
-    # and multimodal_binary_meta yielded their slots to the eleven
+    # data_quality_profile, forward_fill, as_of_join, tfidf_top_terms,
+    # multimodal_binary_meta, dedup_simhash, simhash_signatures and
+    # jaccard_shingle_pairs yielded their slots to the fourteen
     # end-of-round registrations robust_zscore_sketch_parity,
     # zorder_layout_audit, ndv_intersection_sketch_error,
     # mv_incremental_agg_parity, cc_canonical_selection,
     # t_closeness_check, kcore_copurchase, attribution_multi_touch,
-    # auc_quality_langid, clustering_coeff_copurchase and
-    # markov_stationary_events — new queries are driver-checked while
-    # new; all displaced r2 rows rejoin the rotation in round 9.)
+    # auc_quality_langid, clustering_coeff_copurchase,
+    # markov_stationary_events, reciprocal_best_match,
+    # bag_jaccard_pairs and quality_gate_disparity — new queries are
+    # driver-checked while new; all displaced r2 rows rejoin the
+    # rotation in round 9.)
 )
 
 
