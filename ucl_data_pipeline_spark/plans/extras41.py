@@ -117,6 +117,9 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
+        # consumed twice (once per direction of sym): persist so the
+        # banding + scoring lineage runs once, not once per branch
+        .persist()
     )
     sym = scored.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner"), "jaccard"
@@ -130,6 +133,9 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc", "partner", "jaccard")
+        # consumed twice (forward + reversed side of the mutuality
+        # join): persist the node-sized frame
+        .persist()
     )
     rev = best.select(
         F.col("doc").alias("partner"), F.col("partner").alias("doc")
