@@ -123,6 +123,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "reciprocal_best_match",
     "bag_jaccard_pairs",
     "quality_gate_disparity",
+    # new in round 8 (extras42): winnowing fingerprints, BPE merge
+    # training, RAKE keywords
+    "winnowing_fingerprints",
+    "bpe_merge_training",
+    "rake_keywords",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -161,9 +166,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lang_id_heuristic",
     "lead_and_share_of_total",
     "minhash_signatures",
-    "moving_avg_frame",
-    "rank_customers_by_balance",
-    "rank_function_surface",
+    # (moving_avg_frame / rank_customers_by_balance /
+    # rank_function_surface: r1-vintage window surfaces UNTOUCHED by
+    # the round-7 rewrites — deferred to the round-9 rotation to make
+    # room for the three new extras42 registrations under the 50 cap)
     "rest_days_lag",
     "sort_limit_topn",
     "text_quality_score",
