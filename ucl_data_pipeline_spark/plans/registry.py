@@ -128,6 +128,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints",
     "bpe_merge_training",
     "rake_keywords",
+    # new in round 8 (extras43): isotonic calibration, split-conformal
+    # coverage, MAP/MRR retrieval eval
+    "isotonic_calibration_bins",
+    "conformal_split_coverage",
+    "retrieval_map_mrr",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -167,15 +172,14 @@ EXPORT_FIRST: tuple[str, ...] = (
     "lead_and_share_of_total",
     "minhash_signatures",
     # (moving_avg_frame / rank_customers_by_balance /
-    # rank_function_surface: r1-vintage window surfaces UNTOUCHED by
-    # the round-7 rewrites — deferred to the round-9 rotation to make
-    # room for the three new extras42 registrations under the 50 cap)
-    "rest_days_lag",
-    "sort_limit_topn",
+    # rank_function_surface / rest_days_lag / sort_limit_topn /
+    # window_top2_per_key / zscore_by_group: r1-vintage window/sort
+    # surfaces UNTOUCHED by the round-7 text-family rewrites —
+    # deferred to the round-9 rotation to make room for the six new
+    # extras42/extras43 registrations under the 50 cap; the text-
+    # family r1 rows below stay because their plans DID change)
     "text_quality_score",
     "text_token_stats",
-    "window_top2_per_key",
-    "zscore_by_group",
     # round-2-vintage rows, dedup/text family first (15 of 38; the
     # remaining 23 rotate in round 9)
     "dedup_connected_components",
