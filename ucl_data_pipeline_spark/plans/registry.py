@@ -133,6 +133,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "isotonic_calibration_bins",
     "conformal_split_coverage",
     "retrieval_map_mrr",
+    # new in round 8 (extras44): Kneser-Ney LM, Fellegi-Sunter
+    # linkage weights, split-leakage audit
+    "kneser_ney_bigram_lm",
+    "fellegi_sunter_patterns",
+    "split_leakage_audit",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -165,11 +170,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "embedding_lsh_topk",
     "embedding_topk_cosine",
     "grouping_sets_status_priority",
-    "haversine_travel",
-    "intersect_nations",
+    # (haversine_travel / intersect_nations / lead_and_share_of_total:
+    # r1-vintage scalar/set/window surfaces untouched by the text-
+    # family rewrites — deferred to round 9 for the extras44 slots)
     "label_centroids",
     "lang_id_heuristic",
-    "lead_and_share_of_total",
     "minhash_signatures",
     # (moving_avg_frame / rank_customers_by_balance /
     # rank_function_surface / rest_days_lag / sort_limit_topn /
