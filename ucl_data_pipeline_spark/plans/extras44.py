@@ -56,24 +56,20 @@ from ucl_data_pipeline_spark.sources.io import read_table
 
 _KN_D = 0.75
 
-_KN_ORACLE = rf"""
-WITH tok AS (
-  SELECT source, {_SQL_TOKS} AS t FROM documents
-), bg AS (
-  SELECT source, s.v AS v, s.w AS w
-  FROM (
-    SELECT source,
-           unnest(CASE WHEN len(t) >= 2 THEN
-                    list_transform(generate_series(1, len(t) - 1),
-                                   i -> {{'v': t[i], 'w': t[i+1]}})
-                  ELSE [] END) AS s
-    FROM tok)
-), cs AS (
-  SELECT source, v, w, CAST(COUNT(*) AS BIGINT) AS c_s
-  FROM bg GROUP BY source, v, w
-), cvw AS (
-  SELECT v, w, CAST(SUM(c_s) AS BIGINT) AS c_vw FROM cs GROUP BY v, w
-), ctx AS (
+# Bigram extraction as a SQL fragment (grain columns prepended by the
+# caller): s.v / s.w from the per-doc adjacent-pair list. Shared with
+# extras45's doc-grain perplexity gate.
+_KN_PAIR_SQL = (
+    "unnest(CASE WHEN len(t) >= 2 THEN"
+    " list_transform(generate_series(1, len(t) - 1),"
+    " i -> {'v': t[i], 'w': t[i+1]})"
+    " ELSE [] END) AS s"
+)
+
+# The KN model CTE chain given an existing cvw(v, w, c_vw) CTE —
+# shared verbatim by this module's per-source LM and extras45's
+# per-doc perplexity gate so the probability spelling can never fork.
+_KN_MODEL_FROM_CVW_CTES = f"""ctx AS (
   SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
          CAST(COUNT(*) AS BIGINT) AS n1p_v
   FROM cvw GROUP BY v
@@ -90,7 +86,20 @@ WITH tok AS (
   JOIN ctx x ON m.v = x.v
   JOIN cont co ON m.w = co.w
   CROSS JOIN tt t
-), ev AS (
+)"""
+
+_KN_ORACLE = rf"""
+WITH tok AS (
+  SELECT source, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT source, s.v AS v, s.w AS w
+  FROM (SELECT source, {_KN_PAIR_SQL} FROM tok)
+), cs AS (
+  SELECT source, v, w, CAST(COUNT(*) AS BIGINT) AS c_s
+  FROM bg GROUP BY source, v, w
+), cvw AS (
+  SELECT v, w, CAST(SUM(c_s) AS BIGINT) AS c_vw FROM cs GROUP BY v, w
+), {_KN_MODEL_FROM_CVW_CTES}, ev AS (
   SELECT cs.source,
          CAST(SUM(cs.c_s) AS BIGINT) AS n_bigrams,
          CAST(SUM(CAST(ROUND(CAST(cs.c_s AS DOUBLE) * log2(md.p), 6)
@@ -104,6 +113,64 @@ SELECT source, n_bigrams,
          AS perplexity
 FROM ev
 """
+
+
+def kn_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, v, w) — one row per within-doc adjacent token
+    pair. The let-bound pair extraction shared by the per-source LM
+    here and extras45's per-doc perplexity gate (SQL twin:
+    ``_KN_PAIR_SQL``)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.tokens("text").alias("t")
+    )
+
+    def pair_arr(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("v"),
+                    F.element_at(t, i + 1).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+
+    return d.select(
+        "doc_id", "source", F.explode(TX._let(F.col("t"), pair_arr)).alias("p")
+    ).select(
+        "doc_id", "source", F.col("p.v").alias("v"), F.col("p.w").alias("w")
+    )
+
+
+def kn_model_from_cvw(cvw: DataFrame) -> DataFrame:
+    """(v, w, p) interpolated-KN probabilities from a bigram-type count
+    frame cvw(v, w, c_vw) — the ONE place the probability expression
+    lives engine-side (SQL twin: ``_KN_MODEL_FROM_CVW_CTES``). The
+    parenthesization is pinned to the oracle's; both engines walk the
+    identical IEEE expression tree over exact-integer ratios."""
+    ctx = cvw.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count("*").cast("long").alias("n1p_v"),
+    )
+    cont = cvw.groupBy("w").agg(F.count("*").cast("long").alias("n1p_w"))
+    tt = cvw.agg(F.count("*").cast("long").alias("t_types"))
+    p = (
+        (F.col("c_vw").cast("double") - F.lit(_KN_D))
+        / F.col("c_v").cast("double")
+    ) + (
+        (
+            (F.lit(_KN_D) * F.col("n1p_v").cast("double"))
+            / F.col("c_v").cast("double")
+        )
+        * (F.col("n1p_w").cast("double") / F.col("t_types").cast("double"))
+    )
+    return (
+        cvw.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tt))
+        .select("v", "w", p.alias("p"))
+    )
 
 
 @register(
@@ -136,53 +203,14 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the model chain and the eval join, and the model lineage
     must not re-run the corpus explode per consumer.
     """
-    d = read_table(spark, sf_dir, "documents").select(
-        "source", TX.tokens("text").alias("t")
-    )
-
-    def pair_arr(t: Column) -> Column:
-        return F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("v"),
-                    F.element_at(t, i + 1).alias("w"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
-
-    bg = d.select(
-        "source", F.explode(TX._let(F.col("t"), pair_arr)).alias("p")
-    ).select("source", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    bg = kn_bigrams(spark, sf_dir).select("source", "v", "w")
     cs = (
         bg.groupBy("source", "v", "w")
         .agg(F.count("*").cast("long").alias("c_s"))
         .localCheckpoint()
     )
     cvw = cs.groupBy("v", "w").agg(F.sum("c_s").cast("long").alias("c_vw"))
-    ctx = cvw.groupBy("v").agg(
-        F.sum("c_vw").cast("long").alias("c_v"),
-        F.count("*").cast("long").alias("n1p_v"),
-    )
-    cont = cvw.groupBy("w").agg(F.count("*").cast("long").alias("n1p_w"))
-    tt = cvw.agg(F.count("*").cast("long").alias("t_types"))
-    p = (
-        (F.col("c_vw").cast("double") - F.lit(_KN_D))
-        / F.col("c_v").cast("double")
-    ) + (
-        (
-            (F.lit(_KN_D) * F.col("n1p_v").cast("double"))
-            / F.col("c_v").cast("double")
-        )
-        * (F.col("n1p_w").cast("double") / F.col("t_types").cast("double"))
-    )
-    model = (
-        cvw.join(ctx, "v")
-        .join(cont, "w")
-        .crossJoin(F.broadcast(tt))
-        .select("v", "w", p.alias("p"))
-    )
+    model = kn_model_from_cvw(cvw)
     ev = (
         cs.join(model, ["v", "w"])
         .groupBy("source")

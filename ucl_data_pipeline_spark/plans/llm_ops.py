@@ -1273,12 +1273,19 @@ SELECT doc_id, MIN(r) AS component_id FROM reach GROUP BY doc_id
 
 
 @register("dedup_connected_components", oracle=_CC_ORACLE, tags=("dedup", "llm", "iterative"))
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Full duplicate-GROUP resolution: connected components over the
     MinHash-LSH near-dup pair graph (component id = smallest doc_id
     reachable), via iterative min-label propagation to fixpoint — the
     union-find completion that pairwise keep-lowest-id dedup
     approximates. Oracle: the same components from a recursive CTE.
+
+    ``edges`` lets a composing query (extras45's
+    ``component_split_assign``) pass an already-built ``cc_edge_set``
+    frame so the LSH verify lineage runs once; ownership follows the
+    argument — a caller-provided frame is not unpersisted here.
 
     Scale shape: each round is one broadcast join (edges are sparse —
     near-dup graphs are tiny relative to the corpus) + a min-aggregate;
@@ -1287,7 +1294,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage — the standard Spark iterative-algorithm pattern
     (GraphFrames/GraphX do the same under the hood).
     """
-    edges = cc_edge_set(spark, sf_dir)
+    owns_edges = edges is None
+    if owns_edges:
+        edges = cc_edge_set(spark, sf_dir)
     labels = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", F.col("doc_id").alias("component_id"))
@@ -1314,7 +1323,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    if owns_edges:
+        edges.unpersist()
     return labels
 
 

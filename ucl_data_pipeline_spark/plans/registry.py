@@ -138,6 +138,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "kneser_ney_bigram_lm",
     "fellegi_sunter_patterns",
     "split_leakage_audit",
+    # new in round 8 (extras45): component-keyed leak-free split,
+    # DSIR importance weights, KN-perplexity outlier gate
+    "component_split_assign",
+    "dsir_importance_weights",
+    "perplexity_outlier_gate",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -159,8 +164,9 @@ EXPORT_FIRST: tuple[str, ...] = (
     "pagerank_trade_network",
     # round-1-vintage rows (all 27 that remain)
     "bpe_token_count",
-    "conditional_agg",
-    "cube_status_priority",
+    # (conditional_agg / cube_status_priority / grouping_sets_status_
+    # priority: r1-vintage agg surfaces untouched by the text-family
+    # rewrites — deferred to round 9 for the extras45 slots)
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_first_wins",
@@ -169,7 +175,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "embedding_topk_cosine",
-    "grouping_sets_status_priority",
     # (haversine_travel / intersect_nations / lead_and_share_of_total:
     # r1-vintage scalar/set/window surfaces untouched by the text-
     # family rewrites — deferred to round 9 for the extras44 slots)
