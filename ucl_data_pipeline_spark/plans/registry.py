@@ -143,6 +143,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "component_split_assign",
     "dsir_importance_weights",
     "perplexity_outlier_gate",
+    # new in round 8 (extras46): Neyman allocation, JL distortion
+    # audit, MASE forecast evaluation
+    "neyman_allocation_sample",
+    "jl_projection_distortion",
+    "forecast_mase_seasonal",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -169,16 +174,18 @@ EXPORT_FIRST: tuple[str, ...] = (
     # rewrites — deferred to round 9 for the extras45 slots)
     "dedup_exact",
     "dedup_exact_normalized",
-    "dedup_first_wins",
+    # (dedup_first_wins / doc_fingerprint / label_centroids:
+    # r1-vintage rows deferred to round 9 for the extras46 slots —
+    # dedup_first_wins is a pure window surface; doc_fingerprint and
+    # label_centroids are covered transitively by the r7/r8-green
+    # fingerprint/kmeans families)
     "dedup_minhash_lsh",
-    "doc_fingerprint",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "embedding_topk_cosine",
     # (haversine_travel / intersect_nations / lead_and_share_of_total:
     # r1-vintage scalar/set/window surfaces untouched by the text-
     # family rewrites — deferred to round 9 for the extras44 slots)
-    "label_centroids",
     "lang_id_heuristic",
     "minhash_signatures",
     # (moving_avg_frame / rank_customers_by_balance /
