@@ -148,6 +148,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "neyman_allocation_sample",
     "jl_projection_distortion",
     "forecast_mase_seasonal",
+    # new in round 8 (extras47): SemDeDup prune, DP sensitivity
+    # audit, Dirichlet query-likelihood ranking
+    "semdedup_cluster_prune",
+    "dp_sensitivity_audit",
+    "query_likelihood_dirichlet",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -180,9 +185,10 @@ EXPORT_FIRST: tuple[str, ...] = (
     # label_centroids are covered transitively by the r7/r8-green
     # fingerprint/kmeans families)
     "dedup_minhash_lsh",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "embedding_topk_cosine",
+    # (embedding_ivf_topk / embedding_lsh_topk / embedding_topk_cosine:
+    # r1-vintage rows deferred to round 9 for the extras47 slots — the
+    # index paths are transitively exercised by the r5-r8-green recall
+    # gates and frontier queries built on the same helpers)
     # (haversine_travel / intersect_nations / lead_and_share_of_total:
     # r1-vintage scalar/set/window surfaces untouched by the text-
     # family rewrites — deferred to round 9 for the extras44 slots)
