@@ -153,6 +153,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "semdedup_cluster_prune",
     "dp_sensitivity_audit",
     "query_likelihood_dirichlet",
+    # new in round 8 (extras48): Matryoshka truncation recall,
+    # stratified ATE, Merkle bucket diff
+    "matryoshka_truncation_recall",
+    "stratified_ate_adjustment",
+    "merkle_bucket_diff",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -173,7 +178,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "dedup_threshold_frontier",
     "pagerank_trade_network",
     # round-1-vintage rows (all 27 that remain)
-    "bpe_token_count",
+    # (bpe_token_count / lang_id_heuristic / minhash_signatures:
+    # r1-vintage rows deferred to round 9 for the extras48 slots —
+    # bpe_token_count's apply path is exercised by the r8-checked
+    # bpe_merge_training pair; lang-id/minhash surfaces by the
+    # r6-r8-green langid-confusion and minhash-LSH families)
     # (conditional_agg / cube_status_priority / grouping_sets_status_
     # priority: r1-vintage agg surfaces untouched by the text-family
     # rewrites — deferred to round 9 for the extras45 slots)
@@ -192,8 +201,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     # (haversine_travel / intersect_nations / lead_and_share_of_total:
     # r1-vintage scalar/set/window surfaces untouched by the text-
     # family rewrites — deferred to round 9 for the extras44 slots)
-    "lang_id_heuristic",
-    "minhash_signatures",
     # (moving_avg_frame / rank_customers_by_balance /
     # rank_function_surface / rest_days_lag / sort_limit_topn /
     # window_top2_per_key / zscore_by_group: r1-vintage window/sort
