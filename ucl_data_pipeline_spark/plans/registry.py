@@ -158,6 +158,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "matryoshka_truncation_recall",
     "stratified_ate_adjustment",
     "merkle_bucket_diff",
+    # new in round 8 (extras49): Otsu threshold, Chao1 vocabulary
+    # estimate, JM smoothing frontier
+    "otsu_quality_threshold",
+    "chao1_vocab_estimate",
+    "jm_smoothing_frontier",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -187,13 +192,15 @@ EXPORT_FIRST: tuple[str, ...] = (
     # priority: r1-vintage agg surfaces untouched by the text-family
     # rewrites — deferred to round 9 for the extras45 slots)
     "dedup_exact",
-    "dedup_exact_normalized",
+    # (dedup_exact_normalized / dedup_minhash_lsh / conform_defaults-
+    # era remainders: deferred to round 9 for the extras49 slots —
+    # dedup_exact_normalized shares dedup_exact's rewritten scan,
+    # dedup_minhash_lsh underlies five r7/r8-green composite rows)
     # (dedup_first_wins / doc_fingerprint / label_centroids:
     # r1-vintage rows deferred to round 9 for the extras46 slots —
     # dedup_first_wins is a pure window surface; doc_fingerprint and
     # label_centroids are covered transitively by the r7/r8-green
     # fingerprint/kmeans families)
-    "dedup_minhash_lsh",
     # (embedding_ivf_topk / embedding_lsh_topk / embedding_topk_cosine:
     # r1-vintage rows deferred to round 9 for the extras47 slots — the
     # index paths are transitively exercised by the r5-r8-green recall
