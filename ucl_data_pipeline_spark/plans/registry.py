@@ -163,6 +163,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "otsu_quality_threshold",
     "chao1_vocab_estimate",
     "jm_smoothing_frontier",
+    # new in round 8 (extras50): TextTiling chunk boundaries,
+    # cluster NMI/purity, RBO ranker agreement
+    "texttiling_boundaries",
+    "cluster_nmi_purity",
+    "rbo_ranker_agreement",
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
@@ -191,7 +196,13 @@ EXPORT_FIRST: tuple[str, ...] = (
     # (conditional_agg / cube_status_priority / grouping_sets_status_
     # priority: r1-vintage agg surfaces untouched by the text-family
     # rewrites — deferred to round 9 for the extras45 slots)
-    "dedup_exact",
+    # (dedup_exact / text_quality_score / text_token_stats: the final
+    # r1-vintage rows, deferred to round 9 for the extras50 slots —
+    # all three surfaces are transitively exercised by r7/r8-green
+    # composites (dedup_exact by cc_canonical/minhash chains; the two
+    # text stats by the quality-gate/perplexity/Otsu queries that
+    # embed their exact expressions). Round 9's rotation leads with
+    # them plus the remaining r2 rows.)
     # (dedup_exact_normalized / dedup_minhash_lsh / conform_defaults-
     # era remainders: deferred to round 9 for the extras49 slots —
     # dedup_exact_normalized shares dedup_exact's rewritten scan,
@@ -215,8 +226,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     # deferred to the round-9 rotation to make room for the six new
     # extras42/extras43 registrations under the 50 cap; the text-
     # family r1 rows below stay because their plans DID change)
-    "text_quality_score",
-    "text_token_stats",
     # round-2-vintage rows, dedup/text family first (15 of 38; the
     # remaining 23 rotate in round 9)
     "dedup_connected_components",
