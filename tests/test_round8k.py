@@ -62,7 +62,7 @@ def test_texttiling_matches_python_loop(spark):
         r = rows[did]
         assert r.n_gaps == len(sims)
         assert r.n_boundaries == sum(1 for d in depths if d > cut), did
-        assert abs(r.mean_sim - round(sum(sims) / len(sims), 6)) < 2e-6
+        assert abs(r.sum_sim - round(sum(sims), 6)) < 2e-6
         assert abs(r.max_depth - max(depths)) < 2e-6
 
 

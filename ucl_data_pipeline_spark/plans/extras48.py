@@ -84,25 +84,24 @@ WITH sims AS (
   FROM sims
   QUALIFY row_number() OVER (PARTITION BY query_id
                              ORDER BY s_full DESC, neighbor_id) <= {_MRL_K}
-), hits AS (
-{chr(10).join(
-    f'''  SELECT {d} AS trunc_dim, t.query_id,
-         CAST(COUNT(*) AS BIGINT) AS n_hits
+)
+{" UNION ALL ".join(
+    f'''
+SELECT CAST({d} AS INTEGER) AS trunc_dim,
+       CAST(COUNT(DISTINCT hit.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(hit.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(hit.neighbor_id) AS DOUBLE)
+             / ({_MRL_K}.0 * {_NDCG_QUERIES}), 6) AS recall_at_3
+FROM (
+  SELECT t.query_id, t.neighbor_id
   FROM (SELECT query_id, neighbor_id FROM sims
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY s_{d} DESC, neighbor_id)
                 <= {_MRL_K}) a
   JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-  GROUP BY t.query_id{" UNION ALL" if d != _MRL_DIMS[-1] else ""}'''
+) hit'''
     for d in _MRL_DIMS
 )}
-)
-SELECT CAST(trunc_dim AS INTEGER) AS trunc_dim,
-       CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
-       ROUND(CAST(SUM(n_hits) AS DOUBLE)
-             / ({_MRL_K}.0 * {_NDCG_QUERIES}), 6) AS recall_at_3
-FROM hits GROUP BY trunc_dim
 """
 
 
@@ -181,13 +180,14 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= _MRL_K)
             .select("query_id", "neighbor_id")
         )
+        # ONE scalar agg (no groupBy): a dim with zero hits still emits
+        # its row (n_queries/n_hits = 0) — the nested per-query agg
+        # used to drop empty dims from the SQL side at sf0.001
         hits = (
             approx.join(truth, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").cast("long").alias("n_hits"))
             .agg(
-                F.count("*").cast("long").alias("n_queries"),
-                F.sum("n_hits").cast("long").alias("n_hits"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count("*").cast("long").alias("n_hits"),
             )
             .select(
                 F.lit(d).cast("int").alias("trunc_dim"),

@@ -85,21 +85,28 @@ WITH tok AS (
   LEFT JOIN gaps gp ON gp.doc_id = n.doc_id AND gp.g = n.b
   WHERE EXISTS (SELECT 1 FROM norms n2
                 WHERE n2.doc_id = n.doc_id AND n2.b = n.b + 1)
+), simd AS (
+  SELECT doc_id, g, sim, CAST(sim AS DECIMAL(18,6)) AS sd FROM allgaps
+), peaks AS (
+  SELECT doc_id, g, sim, sd,
+         COALESCE(MAX(sd) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN {_TT_RADIUS} PRECEDING AND 1 PRECEDING),
+                  sd) AS pl,
+         COALESCE(MAX(sd) OVER (PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN 1 FOLLOWING AND {_TT_RADIUS} FOLLOWING),
+                  sd) AS pr
+  FROM simd
 ), depth AS (
+  -- CASE, not GREATEST: DuckDB's GREATEST promotes DECIMAL args to
+  -- DOUBLE, which would re-float the exact depth algebra
   SELECT doc_id, g, sim,
-         ROUND(
-           GREATEST(COALESCE(MAX(sim) OVER (PARTITION BY doc_id ORDER BY g
-                      ROWS BETWEEN {_TT_RADIUS} PRECEDING AND 1 PRECEDING),
-                    sim), sim)
-           + GREATEST(COALESCE(MAX(sim) OVER (PARTITION BY doc_id ORDER BY g
-                      ROWS BETWEEN 1 FOLLOWING AND {_TT_RADIUS} FOLLOWING),
-                    sim), sim)
-           - 2 * sim, 6) AS d
-  FROM allgaps
+         (CASE WHEN pl >= sd THEN pl ELSE sd END)
+         + (CASE WHEN pr >= sd THEN pr ELSE sd END)
+         - 2 * sd AS d
+  FROM peaks
 ), stats AS (
-  SELECT CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS sd,
-         CAST(SUM(CAST(d AS DECIMAL(18,6)) * CAST(d AS DECIMAL(18,6)))
-              AS DOUBLE) AS sdd,
+  SELECT CAST(SUM(d) AS DOUBLE) AS sd,
+         CAST(SUM(d * d) AS DOUBLE) AS sdd,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM depth
 ), thr AS (
@@ -107,11 +114,10 @@ WITH tok AS (
 )
 SELECT d.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       CAST(SUM(CASE WHEN d.d > t.cut THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_boundaries,
-       ROUND(CAST(SUM(CAST(d.sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         AS mean_sim,
-       MAX(d.d) AS max_depth
+       CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) > t.cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boundaries,
+       CAST(SUM(CAST(d.sim AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim,
+       CAST(MAX(d.d) AS DOUBLE) AS max_depth
 FROM depth d CROSS JOIN thr t
 GROUP BY d.doc_id
 """
@@ -130,16 +136,19 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-radius-{r} peaks, and flag boundaries where depth exceeds
     the corpus μ + σ/2 cut (the paper's threshold rule on the
     engine's exact-decimal moment spelling). Per doc: gap count,
-    boundary count, mean gap similarity, max depth — the
+    boundary count, summed gap similarity (exact decimal — the mean
+    sum/n_gaps hit a ROUND-6 midpoint fork at sf0.001; the SUM of
+    6-dp decimals is exact and the reader divides), max depth — the
     topic-coherence chunking signal a RAG pipeline uses instead of
     fixed windows.
 
     Determinism: block tf vectors are exact integers, so each gap
     cosine is one sqrt-and-divide on exact ints, ROUND 6; depth
-    combines ROUND-6 sims via MAX/GREATEST (selection, not
-    summation) then ROUND 6; μ and σ come from DECIMAL-exact Σd, Σd²
-    of the 6-dp depths (σ² in exact 12-dp products); the cut compare
-    runs on bit-identical doubles.
+    combines the ROUND-6 sims IN DECIMAL(18,6) (MAX is selection and
+    l + r − 2s is exact decimal algebra — the double spelling forked
+    a half-ulp rounding boundary at sf0.001); μ and σ come from
+    DECIMAL-exact Σd, Σd²; the cut compare runs on bit-identical
+    doubles.
 
     Scale: one posexplode → (doc, block, token) hash-agg; gap
     cosines are a self-join keyed on (doc, adjacent block) at
@@ -209,18 +218,21 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_r = (
         Window.partitionBy("doc_id").orderBy("g").rowsBetween(1, _TT_RADIUS)
     )
-    sim = F.col("sim")
-    depth_col = F.round(
-        F.greatest(F.coalesce(F.max("sim").over(w_l), sim), sim)
-        + F.greatest(F.coalesce(F.max("sim").over(w_r), sim), sim)
-        - 2 * sim,
-        6,
+    # depth algebra runs in DECIMAL(18,6) over the ROUND-6 sims:
+    # l + r − 2s of 6-dp values is itself a 6-dp decimal, but the
+    # equivalent double expression can land a half-ulp off a rounding
+    # boundary and fork the engines' last digit (hit at sf0.001)
+    simd = allgaps.withColumn("sd_", F.col("sim").cast("decimal(18,6)"))
+    sdc = F.col("sd_")
+    depth_col = (
+        F.greatest(F.coalesce(F.max("sd_").over(w_l), sdc), sdc)
+        + F.greatest(F.coalesce(F.max("sd_").over(w_r), sdc), sdc)
+        - 2 * sdc
     )
-    depth = allgaps.select("doc_id", "g", "sim", depth_col.alias("d"))
-    dd = F.col("d").cast("decimal(18,6)")
+    depth = simd.select("doc_id", "g", "sim", depth_col.alias("d"))
     stats = depth.agg(
-        F.sum(dd).cast("double").alias("sd"),
-        F.sum(dd * dd).cast("double").alias("sdd"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
         F.count("*").cast("long").alias("n"),
     )
     cut = (
@@ -237,15 +249,15 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_gaps"),
-            F.sum(F.when(F.col("d") > F.col("cut"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("d").cast("double") > F.col("cut"), 1).otherwise(0)
+            )
             .cast("long")
             .alias("n_boundaries"),
-            F.round(
-                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("mean_sim"),
-            F.max("d").alias("max_depth"),
+            F.sum(F.col("sim").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_sim"),
+            F.max("d").cast("double").alias("max_depth"),
         )
     )
 
