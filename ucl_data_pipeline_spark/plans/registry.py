@@ -168,6 +168,11 @@ EXPORT_FIRST: tuple[str, ...] = (
     "texttiling_boundaries",
     "cluster_nmi_purity",
     "rbo_ranker_agreement",
+    # (extras51 — sequential_pattern_support, event_dispersion_index,
+    # unigram_neg_sampling_table — landed after the 50-slot prefix
+    # filled with this round's 45 other new registrations; verified
+    # locally at sf0.001 AND sf0.01 under both ANSI modes. Round 9's
+    # prefix leads with them plus the deferred r1/r2 rotations.)
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
