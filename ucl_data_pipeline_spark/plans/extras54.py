@@ -1,0 +1,332 @@
+"""Round-8 batch 21: model-evaluation completion — the three readouts
+an experimentation/serving pipeline still lacked:
+
+- ``decile_lift_table``: the marketing-science lift & gains chart as
+  a table — score customers by account balance, split into NTILE(10)
+  deciles over a total order, and report per-decile response rate
+  (responder = customer with ≥1 returned lineitem), lift vs the base
+  rate, and cumulative capture. THE standard readout for "is this
+  score worth targeting with" — AUC's business-facing sibling
+  (``auc_quality_langid`` covers the ROC read).
+- ``mcnemar_paired_gates``: McNemar's test on the SAME two document-
+  quality raters as ``cohens_kappa_quality`` (char-length ≥ 128 vs
+  token-count ≥ 24). Kappa answers "do they agree"; McNemar answers
+  the different question "is one systematically stricter" — it reads
+  ONLY the discordant cells, the paired-classifier comparison test
+  (Dietterich). Both plain and continuity-corrected statistics.
+- ``cliffs_delta_priority``: Cliff's δ between URGENT and LOW order
+  totals — the nonparametric effect size companion to
+  ``mann_whitney_u`` (same two samples; MWU says "significant?", δ
+  says "how big?"). Spelled EXACTLY: dominance pair counts n_gt /
+  n_eq / n_lt come from value-grain cell counts and one cumulative
+  window over distinct values — all BIGINT until the final division
+  (no midranks, no doubles, no global fact-row sort).
+
+Registry conventions (plans/registry.py): exact BIGINT counts, ROUND
+6 on ratios, NULLIF degenerate guards both sides, atomic outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# Decile lift & gains table (score: acctbal; response: any return)
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH resp AS (
+  SELECT DISTINCT o.o_custkey AS custkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+), scored AS (
+  SELECT c.c_custkey,
+         CASE WHEN r.custkey IS NULL THEN 0 ELSE 1 END AS y,
+         NTILE(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS decile
+  FROM customer c LEFT JOIN resp r ON r.custkey = c.c_custkey
+), per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(y) AS BIGINT) AS n_responders
+  FROM scored GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS n,
+         CAST(SUM(n_responders) AS BIGINT) AS r
+  FROM per
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       n_customers,
+       n_responders,
+       ROUND(CAST(n_responders AS DOUBLE) / n_customers, 6) AS resp_rate,
+       ROUND((CAST(n_responders AS DOUBLE) / n_customers)
+             / (CAST(t.r AS DOUBLE) / t.n), 6) AS lift,
+       ROUND(CAST(SUM(n_responders) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.r, 6)
+         AS cum_capture
+FROM per CROSS JOIN tot t
+ORDER BY decile
+"""
+
+
+@register("decile_lift_table", oracle=_LIFT_ORACLE, tags=("stats", "window"))
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift & gains table: customers scored by account balance
+    (descending — the "model score"), cut into NTILE(10) deciles, and
+    read against a behavioral response (placed ≥1 order with a
+    returned lineitem). Per decile: response rate, lift vs the base
+    rate, and cumulative responder capture — the table behind every
+    "top-2-deciles capture X% of responders" targeting decision. A
+    flat lift column ≈ 1 means the score carries no signal (the
+    expected read on this synthetic fixture — the value is the
+    machinery, witnessed end-to-end).
+
+    Determinism: NTILE over the (acctbal DESC, custkey) TOTAL order
+    assigns identical deciles in both engines (both split N rows into
+    ⌈N/10⌉-then-⌊N/10⌋ runs in order); all counts exact BIGINT; the
+    three ratios are single divisions ROUND 6; cumulative capture
+    rides the 10-row decile grain.
+
+    Scale: the response set is a semi-join-shaped DISTINCT on the
+    fact table (map-combinable); the NTILE is one customer-grain sort
+    window — the standard price a global ranking costs (at 100 TB,
+    range-partition by the score and offset per-partition row numbers
+    — range_partition_boundaries demonstrates the machinery); all
+    lift math runs on 10 rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    resp = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    scored = c.join(
+        resp, c["c_custkey"] == resp["custkey"], "left"
+    ).select(
+        F.when(F.col("custkey").isNull(), 0).otherwise(1).alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c_acctbal"), "c_custkey"))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("y").cast("long").alias("n_responders"),
+    )
+    tot = per.agg(
+        F.sum("n_customers").cast("long").alias("n"),
+        F.sum("n_responders").cast("long").alias("r"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "n_responders",
+            F.round(
+                F.col("n_responders").cast("double") / F.col("n_customers"), 6
+            ).alias("resp_rate"),
+            F.round(
+                (F.col("n_responders").cast("double") / F.col("n_customers"))
+                / (F.col("r").cast("double") / F.col("n")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_responders").over(w_cum).cast("double") / F.col("r"),
+                6,
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test on the two paired quality gates
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= 24 THEN 1 ELSE 0 END AS b
+  FROM documents
+), counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT) AS n10,
+         CAST(COUNT(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT) AS n01
+  FROM rated
+)
+SELECT n AS n_docs,
+       n10 AS a_only,
+       n01 AS b_only,
+       ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             / NULLIF(n10 + n01, 0), 6) AS chi2,
+       ROUND(POWER(ABS(CAST(n10 AS DOUBLE) - n01) - 1, 2)
+             / NULLIF(n10 + n01, 0), 6) AS chi2_cc
+FROM counts
+"""
+
+
+@register("mcnemar_paired_gates", oracle=_MCNEMAR_ORACLE, tags=("stats", "text"))
+def mcnemar_paired_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between the engine's two document-quality
+    raters — the SAME paired gates ``cohens_kappa_quality`` scores
+    (char-length ≥ 128 vs token-count ≥ 24), asking the OTHER
+    question: not "do they agree" but "is one gate systematically
+    stricter than the other". Only the discordant cells matter:
+    χ² = (b−c)²/(b+c), plus Edwards' continuity-corrected variant —
+    the standard paired-classifier comparison (Dietterich 1998) for
+    two models evaluated on one test set.
+
+    Determinism: the 2×2 paired table is one map-combinable hash-agg
+    of exact BIGINTs; both statistics are single pinned expressions
+    over two integers, ROUND 6, NULLIF-guarded for the no-discordance
+    degenerate case on both engines.
+
+    Scale: one corpus pass to four cells; test math on one row.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") >= 128, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split("text", " ")) >= 24, 1).otherwise(0).alias("b"),
+    )
+    counts = rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+    )
+    b, c = F.col("n10"), F.col("n01")
+    denom = F.nullif((b + c).cast("double"), F.lit(0.0))
+    return counts.select(
+        F.col("n").alias("n_docs"),
+        b.alias("a_only"),
+        c.alias("b_only"),
+        F.round(((b - c) * (b - c)).cast("double") / denom, 6).alias("chi2"),
+        F.round(
+            F.pow(F.abs(b.cast("double") - c) - 1, 2) / denom, 6
+        ).alias("chi2_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta (exact, value-grain dominance counts)
+# ---------------------------------------------------------------------------
+
+_CLIFFS_ORACLE = """
+WITH cells AS (
+  SELECT o_totalprice AS v,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
+              AS BIGINT) AS cb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_totalprice
+), cum AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS cb_below
+  FROM cells
+), st AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * cb_below) AS BIGINT) AS n_gt,
+         CAST(SUM(ca * cb) AS BIGINT) AS n_eq
+  FROM cum
+)
+SELECT na AS n_urgent,
+       nb AS n_low,
+       n_gt AS n_urgent_gt,
+       CAST(na * nb - n_gt - n_eq AS BIGINT) AS n_urgent_lt,
+       n_eq AS n_ties,
+       ROUND((CAST(n_gt AS DOUBLE) - (na * nb - n_gt - n_eq))
+             / (CAST(na AS DOUBLE) * nb), 6) AS cliffs_delta,
+       CASE
+         WHEN ABS((CAST(n_gt AS DOUBLE) - (na * nb - n_gt - n_eq))
+                  / (CAST(na AS DOUBLE) * nb)) < 0.147 THEN 'negligible'
+         WHEN ABS((CAST(n_gt AS DOUBLE) - (na * nb - n_gt - n_eq))
+                  / (CAST(na AS DOUBLE) * nb)) < 0.33 THEN 'small'
+         WHEN ABS((CAST(n_gt AS DOUBLE) - (na * nb - n_gt - n_eq))
+                  / (CAST(na AS DOUBLE) * nb)) < 0.474 THEN 'medium'
+         ELSE 'large'
+       END AS magnitude
+FROM st
+"""
+
+
+@register("cliffs_delta_priority", oracle=_CLIFFS_ORACLE, tags=("stats", "window"))
+def cliffs_delta_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's δ between URGENT and LOW order totals — the
+    nonparametric effect size for ``mann_whitney_u``'s two samples:
+    δ = P(X > Y) − P(X < Y), read with the Romano bands (negligible /
+    small / medium / large). MWU's z answers "detectable?"; δ answers
+    "does it matter?" — the pair every A/B readout should report.
+
+    Spelled EXACTLY, with no midranks and no doubles until the final
+    division: collapse to (value, per-group count) cells, one
+    cumulative window over distinct values gives #B-below-v, and the
+    dominance counts n_gt = Σ ca·cb_below, n_eq = Σ ca·cb, n_lt =
+    n_a·n_b − n_gt − n_eq are exact BIGINTs. δ is one division ROUND
+    6; the band is a CASE over the same expression.
+
+    Scale: one map-combined pass to value cells, one value-grain
+    cumulative window (distinct values ≪ fact rows), one scalar agg.
+    Identical shuffle shape to kruskal_wallis_h; O(V) not O(n²) —
+    the naive dominance definition is a quadratic pair count.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w_below), F.lit(0)).alias("cb_below"),
+    )
+    st = cum.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * F.col("cb_below")).cast("long").alias("n_gt"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_eq"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n_lt = na * nb - F.col("n_gt") - F.col("n_eq")
+    delta = (F.col("n_gt").cast("double") - n_lt) / (na.cast("double") * nb)
+    return st.select(
+        na.alias("n_urgent"),
+        nb.alias("n_low"),
+        F.col("n_gt").alias("n_urgent_gt"),
+        n_lt.cast("long").alias("n_urgent_lt"),
+        F.col("n_eq").alias("n_ties"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
