@@ -79,6 +79,7 @@ from ucl_data_pipeline_spark.plans import extras55  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras56  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras57  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras58  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras59  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls
