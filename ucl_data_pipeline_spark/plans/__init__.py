@@ -84,6 +84,7 @@ from ucl_data_pipeline_spark.plans import extras60  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras61  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras62  # noqa: F401
 from ucl_data_pipeline_spark.plans import extras63  # noqa: F401
+from ucl_data_pipeline_spark.plans import extras64  # noqa: F401
 
 all_queries = registry.all_queries
 oracle_sqls = registry.oracle_sqls
