@@ -168,17 +168,19 @@ EXPORT_FIRST: tuple[str, ...] = (
     "texttiling_boundaries",
     "cluster_nmi_purity",
     "rbo_ranker_agreement",
-    # (extras51-extras59 — 27 further round-8 registrations
-    # (sequential patterns, dispersion, neg-sampling table, the
-    # ANOVA/KW/CA test family, HITS/Adamic-Adar/dyad census, lift/
-    # McNemar/Cliff's delta, periodogram/permutation-entropy/
-    # burstiness, price indices/ABC/Theil, TextRank/Hurst/Heaps,
-    # centroid outliers/silhouette/absorption, CUPED/odds-ratio/Hill)
-    # — landed after the 50-slot prefix filled with this round's 45
-    # earlier new registrations; every one verified locally at
-    # sf0.001 AND sf0.01 under both ANSI modes plus a pandas/numpy
-    # depth test. Round 9's prefix leads with them plus the deferred
-    # r1/r2 rotations.)
+    # (extras51-extras64 — 42 further round-8 registrations
+    # (sequential patterns / dispersion / neg-sampling table; the
+    # ANOVA/KW/Cochran-Armitage test family; HITS/Adamic-Adar/dyad
+    # census; lift table/McNemar/Cliff's delta; periodogram/
+    # permutation-entropy/burstiness; price indices/ABC/Theil;
+    # TextRank/Hurst/Heaps; centroid outliers/silhouette/absorption;
+    # CUPED/odds-ratio/Hill; VSM/Rocchio-PRF/ERR; SPRT/Huber/Grubbs;
+    # MUS sampling/jackknife/capture-recapture; ESD/Allen/ACF;
+    # MDE/saturation/Nelson-Aalen) — landed after the 50-slot prefix
+    # filled with this round's 45 earlier new registrations; every
+    # one verified locally at sf0.001 AND sf0.01 under both ANSI
+    # modes plus a pandas/numpy depth test. Round 9's prefix leads
+    # with them plus the deferred r1/r2 rotations.)
     # new in round 8 (extras34)
     "percentile_sketch_error",
     "robust_zscore_sketch_parity",
