@@ -198,6 +198,24 @@ SHOWCASE = [
      "≤65,536-cell (qx, qy) hash-agg; Morton codes, file boxes, and "
      "all pruning statistics derive from that bounded cell table — "
      "nothing fact-sized downstream"),
+    ("kruskal_wallis_h", "value-grain midranks: one map-combined pass "
+     "to (value, group) cells, cumulative window over DISTINCT values "
+     "only — the rank test without a fact-row sort"),
+    ("cliffs_delta_priority", "quadratic dominance statistic spelled "
+     "linear: exact n_gt/n_eq from cell counts x one value-grain "
+     "cumulative window, all BIGINT until the final division"),
+    ("hits_hub_authority", "two-vector power method: per superstep one "
+     "edges⋈scores broadcast join + dst-keyed hash-agg; 25-row frames "
+     "localCheckpointed so the 8-step chain never re-executes"),
+    ("periodogram_fixed_freqs", "frequency-domain read with bounded "
+     "transcendentals: t enters the DFT only through t mod p, so "
+     "cos/sin products fold over ≤p residue rows per period"),
+    ("textrank_keywords", "PageRank over a DATA-derived node set: "
+     "vocab-sized rank frames JOINED (not broadcast) to persisted "
+     "edges; four supersteps, dst-keyed aggs, zero cartesians"),
+    ("monetary_unit_sample", "systematic PPS: one exact-decimal "
+     "cumulative walk, then a stateless floor-division straddle "
+     "filter — selection needs no second pass and no randomness"),
 ]
 
 
