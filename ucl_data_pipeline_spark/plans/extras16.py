@@ -362,51 +362,59 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals than LOW-priority ones? — the nonparametric complement to
     `welch_ttest_promo` that makes no normality assumption (rank-based,
     robust to the heavy right tail money columns always have).
-    Midranks for ties via RANK() + (peer_count−1)/2 (one global sort
-    window — acceptable because the test statistic itself is global;
-    at 100 TB you'd pre-aggregate to value-grain first, which the tie
-    CTE already demonstrates), rank-sum in exact DECIMAL(18,1) (ranks
-    are half-integers, so decimal sums are exact and
-    order-independent), and the tie-corrected normal approximation
+    Value-grain midranks (the ``kruskal_wallis_h`` spelling): sample
+    rows collapse to (value, group) cells first, midrank(v) =
+    (#rows below v) + (t_v + 1)/2 comes from ONE cumulative window
+    over DISTINCT values (value grain ≪ row grain; at 100 TB bucket
+    values first — the cells agg is the hook), and the group-A rank
+    sum is Σ cnt·midrank in exact DECIMAL (ranks are half-integers,
+    so decimal sums are exact and order-independent) — no ranking
+    window ever touches sample-row grain. The oracle's row-grain
+    RANK() spelling computes the identical exact scalars, which is
+    the cross-engine check that the cell collapse is lossless.
+    Finally the tie-corrected normal approximation
     z = (U − n_a·n_b/2) / σ_ties. U is emitted exactly; z is ROUND 6
     (sqrt is IEEE-correctly-rounded, but the division chain warrants
     the engine's standard transcendental guard).
     """
     o = read_table(spark, sf_dir, "orders")
-    sample = o.filter(
-        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-    ).select(
-        F.col("o_totalprice").alias("v"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .alias("grp_a"),
+    cells = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("grp_a"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    ranked = sample.select(
-        "v",
-        "grp_a",
-        (
-            F.rank().over(Window.orderBy("v"))
-            + (F.count("*").over(Window.partitionBy("v")) - 1) / 2.0
-        ).alias("avg_rank"),
-    )
-    ties = (
-        sample.groupBy("v")
-        .agg(F.count("*").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_term")
+    vals = cells.groupBy("v").agg(F.sum("cnt").cast("long").alias("t"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mid = vals.select("v", "t", F.sum("t").over(w_cum).alias("below"))
+    midrank = (
+        F.coalesce(F.col("below"), F.lit(0)) + (F.col("t") + 1) / 2.0
+    ).cast("decimal(18,1)")
+    ties = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
         )
     )
-    stats = ranked.agg(
-        F.sum(
-            F.when(
-                F.col("grp_a") == 1,
-                F.col("avg_rank").cast("decimal(18,1)"),
-            ).otherwise(F.lit(0).cast("decimal(18,1)"))
-        ).alias("ra"),
-        F.sum("grp_a").alias("na"),
-        (F.count("*") - F.sum("grp_a")).alias("nb"),
+    stats = (
+        cells.join(mid, "v")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("grp_a") == 1,
+                    F.col("cnt").cast("decimal(28,1)") * midrank,
+                ).otherwise(F.lit(0).cast("decimal(28,1)"))
+            ).alias("ra"),
+            F.sum(
+                F.when(F.col("grp_a") == 1, F.col("cnt")).otherwise(0)
+            ).alias("na"),
+            F.sum(
+                F.when(F.col("grp_a") == 0, F.col("cnt")).otherwise(0)
+            ).alias("nb"),
+        )
     )
     joined = stats.crossJoin(F.broadcast(ties))
     na, nb, ra = F.col("na"), F.col("nb"), F.col("ra")

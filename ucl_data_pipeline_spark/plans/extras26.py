@@ -200,8 +200,9 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact-sized stage is the tokenize + query-term filter
     (the IN-list prunes before the tf hash-agg, so shuffle volume is
     per-query-term postings, not the corpus vocabulary); df and the
-    corpus stats are broadcast scalars; top-N is one ranking window
-    over matched docs only. This is the inverted-index query plan
+    corpus stats are broadcast scalars; top-N is a distributed
+    TakeOrdered over matched docs, with the ranking window applied
+    only to the bounded k rows. This is the inverted-index query plan
     spelled relationally — at 100 TB the tf table IS the posting list.
     """
     d = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -239,8 +240,13 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_terms_matched"),
         F.round(F.sum("term_score").cast("double"), 6).alias("bm25_score"),
     )
-    w = Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOPN)
+    # Distributed top-k: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge), then
+    # the ranking window runs over the bounded k rows only — never a
+    # single-partition sort of the full matched-doc set (the
+    # query_likelihood_dirichlet spelling, extras47.py).
+    ranked = agg.orderBy(F.col("bm25_score").desc(), F.col("doc_id")).limit(
+        _BM25_TOPN
     )
+    w = Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

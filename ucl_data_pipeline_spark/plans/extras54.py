@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import (
+    bucket_offsets,
+    range_bucket,
+    register,
+)
 from ucl_data_pipeline_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
@@ -91,11 +95,11 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the 10-row decile grain.
 
     Scale: the response set is a semi-join-shaped DISTINCT on the
-    fact table (map-combinable); the NTILE is one customer-grain sort
-    window — the standard price a global ranking costs (at 100 TB,
-    range-partition by the score and offset per-partition row numbers
-    — range_partition_boundaries demonstrates the machinery); all
-    lift math runs on 10 rows.
+    fact table (map-combinable); the decile cut is the range-bucketed
+    exact global rank (registry.range_bucket/bucket_offsets —
+    per-bucket sorts + bounded offsets, never a single-partition sort
+    of the customer table) folded through the SQL-standard NTILE
+    formula; all lift math runs on 10 rows.
     """
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
@@ -106,13 +110,42 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    scored = c.join(
-        resp, c["c_custkey"] == resp["custkey"], "left"
-    ).select(
+    # Exact NTILE(10) over (acctbal DESC, custkey) WITHOUT a global
+    # sort window: range-bucket the NEGATED score (registry.
+    # range_bucket — equal scores share a bucket, so bucket id is
+    # monotone in the DESC order), row_number within each bucket,
+    # add bounded bucket offsets for the exact global rank, then the
+    # SQL-standard NTILE formula (first N%10 tiles get ⌈N/10⌉ rows)
+    # in pure integer arithmetic — identical tile assignment to both
+    # engines' NTILE over the same total order.
+    cust = c.select(
+        F.col("c_custkey").alias("ck"), (-F.col("c_acctbal")).alias("neg")
+    )
+    bucketed = range_bucket(cust, "neg", 16)
+    w_loc = Window.partitionBy("__bkt").orderBy("neg", "ck")
+    offs = bucket_offsets(bucketed, F.lit(1), "__off")
+    ranked = (
+        bucketed.withColumn("lrk", F.row_number().over(w_loc))
+        .join(F.broadcast(offs), "__bkt")
+        .select("ck", (F.col("lrk") + F.col("__off")).cast("long").alias("rk"))
+    )
+    ntot = cust.agg(F.count("*").cast("long").alias("n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(ntot))
+        .select(
+            "ck",
+            F.expr(
+                "CASE WHEN rk <= (n % 10) * (n DIV 10 + 1)"
+                " THEN (rk + n DIV 10) DIV (n DIV 10 + 1)"
+                " ELSE n % 10"
+                "  + (rk - (n % 10) * (n DIV 10 + 1) + n DIV 10 - 1)"
+                "    DIV (n DIV 10) END"
+            ).alias("decile"),
+        )
+    )
+    scored = dec.join(resp, dec["ck"] == resp["custkey"], "left").select(
+        "decile",
         F.when(F.col("custkey").isNull(), 0).otherwise(1).alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("c_acctbal"), "c_custkey"))
-        .alias("decile"),
     )
     per = scored.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions import text as TX
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import bucketed_row_number, register
 from ucl_data_pipeline_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
@@ -476,17 +476,28 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shingling pass (posexplode+lead codegen shape) to the
     type-grain MIN agg — the same shuffle every dedup query pays (at
-    100 TB the type key is the xxhash64 digest, llm_ops.py:252);
-    checkpoints are a bounded broadcast; no window ever touches gram
-    grain.
+    100 TB the type key is the xxhash64 digest, llm_ops.py:252). The
+    ingestion rank is the range-bucketed exact row_number
+    (registry.bucketed_row_number — per-bucket sorts + bounded
+    offsets, no single-partition window), and the saturation curve is
+    checkpoint-grain accumulation (each type/doc feeds its OWN
+    ⌈rk/step⌉ bucket once; cumulative sums run on the bounded
+    checkpoint spine) — O(types + docs + checkpoints) total, no
+    types×checkpoints fan-out, no window at gram or doc grain.
     """
     d = read_table(spark, sf_dir, "documents")
-    ranked = d.select(
+    # Ingestion rank WITHOUT a global window: range-bucketed exact
+    # row_number (registry.bucketed_row_number) — each task sorts only
+    # its doc_id range bucket; offsets come from the bounded bucket
+    # grain.
+    ranked = bucketed_row_number(
+        d.select(
+            "doc_id",
+            F.greatest(F.size(TX.tokens("text")) - 2, F.lit(0)).alias(
+                "n_inst"
+            ),
+        ),
         "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
-        F.greatest(
-            F.size(TX.tokens("text")) - 2, F.lit(0)
-        ).alias("n_inst"),
     )
     toks = d.select(
         "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
@@ -507,27 +518,40 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ranked.select("doc_id", "rk"), "doc_id")
     )
     first_seen = grams.groupBy("s").agg(F.min("rk").alias("first_rk"))
+    # Checkpoint-grain accumulation, NOT a (types × checkpoints)
+    # crossJoin fan-out: every type/doc contributes ONE row to its
+    # owning checkpoint bucket j = ⌈rk/step⌉ (pure integer DIV — no
+    # float rounding), and the ≤ c predicates become cumulative sums
+    # over the bounded checkpoint spine. Work is O(types + docs +
+    # checkpoints), flat in the checkpoint count instead of linear.
+    ck_of = f"CAST((first_rk + {_HEAPS_STEP - 1}) DIV {_HEAPS_STEP} AS BIGINT)"
+    v_inc = first_seen.groupBy(F.expr(ck_of).alias("j")).agg(
+        F.count("*").cast("long").alias("dv")
+    )
+    t_inc = ranked.groupBy(
+        F.expr(
+            f"CAST((rk + {_HEAPS_STEP - 1}) DIV {_HEAPS_STEP} AS BIGINT)"
+        ).alias("j")
+    ).agg(F.sum("n_inst").cast("long").alias("dt"))
     n_docs_row = ranked.agg(F.max("rk").alias("max_rk"))
-    cks = n_docs_row.select(
+    spine = n_docs_row.select(
         F.explode(
             F.sequence(
-                F.lit(_HEAPS_STEP), F.col("max_rk"), F.lit(_HEAPS_STEP)
+                F.lit(1).cast("long"),
+                F.expr(f"CAST(max_rk DIV {_HEAPS_STEP} AS BIGINT)"),
             )
-        ).alias("c")
+        ).alias("j")
     )
-    v = (
-        first_seen.crossJoin(F.broadcast(cks))
-        .filter(F.col("first_rk") <= F.col("c"))
-        .groupBy("c")
-        .agg(F.count("*").cast("long").alias("v"))
+    w_ck = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        spine.join(v_inc, "j", "left")
+        .join(t_inc, "j", "left")
+        .select(
+            "j",
+            F.sum(F.coalesce("dv", F.lit(0))).over(w_ck).alias("v"),
+            F.sum(F.coalesce("dt", F.lit(0))).over(w_ck).alias("t"),
+        )
     )
-    t = (
-        ranked.crossJoin(F.broadcast(cks))
-        .filter(F.col("rk") <= F.col("c"))
-        .groupBy("c")
-        .agg(F.sum("n_inst").cast("long").alias("t"))
-    )
-    pts = v.join(t, "c")
 
     def _dsum(term: Column) -> Column:
         return F.sum(F.round(term, 6).cast("decimal(28,6)")).cast("double")

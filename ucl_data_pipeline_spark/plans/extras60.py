@@ -183,17 +183,18 @@ def vsm_tfidf_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Distributed top-k (query_likelihood_dirichlet spelling,
+    # extras47.py): orderBy().limit() is TakeOrderedAndProject, so the
+    # ranking window only ever sees the bounded k rows — no
+    # single-partition sort of the full matched-doc set.
+    ranked = scored.orderBy(F.desc("vsm_score"), "doc_id").limit(_VSM_TOPN)
     w_rank = Window.orderBy(F.desc("vsm_score"), "doc_id")
-    return (
-        scored.select(
-            "doc_id",
-            "n_terms_matched",
-            "vsm_score",
-            F.row_number().over(w_rank).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= _VSM_TOPN)
-        .orderBy("rank")
-    )
+    return ranked.select(
+        "doc_id",
+        "n_terms_matched",
+        "vsm_score",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).orderBy("rank")
 
 
 vsm_tfidf_ranking.__doc__ = vsm_tfidf_ranking.__doc__.format(
@@ -273,13 +274,24 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE bounded query row broadcast against the corpus scan,
     twice (base rank, re-rank); the centroid is a {fb}-row
-    per-dimension agg. No all-pairs path — the same structural cap as
-    the brute-force ANN baseline (llm_ops._TOPK_MAX_QUERIES).
+    per-dimension agg. Both top-k selections are distributed
+    TakeOrdered, and rank_before is recovered by a rows-ahead COUNT
+    against a bounded broadcast candidate list — no global ranking
+    window ever touches the corpus grain. No all-pairs path — the
+    same structural cap as the brute-force ANN baseline
+    (llm_ops._TOPK_MAX_QUERIES).
     """
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == _PRF_QUERY_ID).select(
         F.col("embedding").alias("qemb")
     )
+    # Corpus-grain cosine-to-query frame. NO global ranking window is
+    # ever applied to it: the feedback set and the re-ranked top-k are
+    # both distributed TakeOrdered (orderBy().limit()), and the
+    # original rank of each surviving doc is recovered by COUNTING the
+    # corpus rows strictly ahead of it in the same (cos0 DESC, vec_id)
+    # total order — a hash-agg over corpus × |top-k| broadcast rows,
+    # exactly row_number semantics without a single-partition sort.
     base = (
         e.filter(F.col("vec_id") != _PRF_QUERY_ID)
         .crossJoin(F.broadcast(q))
@@ -289,17 +301,11 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             VX.cosine("embedding", "qemb").alias("cos0"),
         )
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cos0"), "vec_id"))
-            .alias("rank_before"),
-        )
     )
-    fb = base.filter(F.col("rank_before") <= _PRF_FB).select(
-        F.posexplode(VX.as_double("embedding")).alias("pos", "val")
+    fb = (
+        base.orderBy(F.desc("cos0"), "vec_id")
+        .limit(_PRF_FB)
+        .select(F.posexplode(VX.as_double("embedding")).alias("pos", "val"))
     )
     centroid = (
         fb.groupBy("pos")
@@ -320,20 +326,48 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = base.crossJoin(F.broadcast(centroid)).select(
         "vec_id",
         "label",
-        "rank_before",
+        "cos0",
         VX.cosine("embedding", "cemb").alias("cos1"),
     )
+    top_after = rer.orderBy(F.desc("cos1"), "vec_id").limit(_PRF_TOPN)
+    w_after = Window.orderBy(F.desc("cos1"), "vec_id")
+    ranked = top_after.select(
+        F.row_number().over(w_after).cast("long").alias("rank_after"),
+        "vec_id",
+        "label",
+        "cos0",
+    )
+    # rank_before of each top-k doc = 1 + #corpus rows strictly ahead
+    # of it in (cos0 DESC, vec_id): one corpus scan against a bounded
+    # broadcast candidate list, hash-agg on the candidate key.
+    cand = ranked.select(
+        F.col("vec_id").alias("t_vid"), F.col("cos0").alias("t_cos0")
+    )
+    ahead = (
+        base.select("vec_id", "cos0")
+        .crossJoin(F.broadcast(cand))
+        .filter(
+            (F.col("cos0") > F.col("t_cos0"))
+            | (
+                (F.col("cos0") == F.col("t_cos0"))
+                & (F.col("vec_id") < F.col("t_vid"))
+            )
+        )
+        .groupBy("t_vid")
+        .agg(F.count("*").alias("n_ahead"))
+    )
     return (
-        rer.select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("cos1"), "vec_id"))
-            .cast("long")
-            .alias("rank_after"),
+        ranked.join(
+            F.broadcast(ahead), ranked["vec_id"] == ahead["t_vid"], "left"
+        )
+        .select(
+            "rank_after",
             "vec_id",
             "label",
-            F.col("rank_before").cast("long").alias("rank_before"),
+            (F.coalesce(F.col("n_ahead"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("rank_before"),
         )
-        .filter(F.col("rank_after") <= _PRF_TOPN)
         .orderBy("rank_after")
     )
 

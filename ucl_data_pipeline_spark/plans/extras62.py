@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import (
+    bucket_offsets,
+    range_bucket,
+    register,
+)
 from ucl_data_pipeline_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
@@ -80,21 +84,39 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles (exact decimal casts; the interval is one
     pooled ratio) — no randomness anywhere, rerunnable bit-identical.
 
-    Scale: one global cumulative window over orders (the standard
-    price of systematic sampling — at 100 TB, range-partition by the
-    walk order and offset per-partition subtotals, exactly as the
-    engine's other cumulative walks document); selection itself is a
-    stateless filter.
+    Scale: the cumulative walk is range-partitioned
+    (registry.range_bucket/bucket_offsets): per-bucket cumulative
+    sums with exclusive bucket-subtotal offsets computed on the
+    bounded bucket grain — exact decimal addition makes the bucketed
+    walk bit-identical to a global window, with no single-partition
+    sort; selection itself is a stateless filter.
     """
     o = read_table(spark, sf_dir, "orders")
     xd = F.col("o_totalprice").cast("decimal(18,2)")
-    w_cum = Window.orderBy("o_orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Global cumulative walk WITHOUT a single-partition window
+    # (implementing what this docstring always promised): range-bucket
+    # the walk key (registry.range_bucket), per-bucket cumulative sums
+    # (each task scans only its o_orderkey range), then add each
+    # bucket's exclusive prefix subtotal from the bounded bucket
+    # grain. Decimal addition is exact and associative, so the
+    # bucketed walk is bit-identical to the global one.
+    base = range_bucket(o.select("o_orderkey", xd.alias("x")), "o_orderkey", 16)
+    w_loc = (
+        Window.partitionBy("__bkt")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ordered = o.select(
-        "o_orderkey",
-        xd.alias("x"),
-        F.sum(xd).over(w_cum).alias("cum"),
+    offs = bucket_offsets(base, F.col("x"), "__off")
+    ordered = (
+        base.withColumn("lcum", F.sum("x").over(w_loc))
+        .join(F.broadcast(offs), "__bkt")
+        .select(
+            "o_orderkey",
+            "x",
+            (F.col("lcum") + F.coalesce(F.col("__off"), F.lit(0))).alias(
+                "cum"
+            ),
+        )
     )
     tot = o.agg(F.sum(xd).cast("double").alias("t"))
     interval = F.col("t") / _MUS_N

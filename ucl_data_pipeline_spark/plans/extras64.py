@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions.scalar import epoch_us
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import bucketed_row_number, register
 from ucl_data_pipeline_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
@@ -213,31 +213,57 @@ def dedup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact BIGINTs; the rate is one division ROUND 6.
 
     Scale: one hash pass to text-hash grain with a MIN agg — the
-    exact shuffle ``dedup_exact`` already pays — then a bounded
-    checkpoint broadcast join. No window ever touches doc grain.
+    exact shuffle ``dedup_exact`` already pays. The ingestion rank is
+    the range-bucketed exact row_number (registry.bucketed_row_number
+    — per-bucket sorts + bounded bucket offsets, never a
+    single-partition sort of the corpus), and the curve is
+    checkpoint-grain accumulation: each first-seen hash feeds its own
+    ⌈rk/step⌉ bucket once, the cumulative sum runs on the bounded
+    checkpoint spine — O(hashes + checkpoints), no hashes×checkpoints
+    fan-out, no window at doc grain.
     """
     d = read_table(spark, sf_dir, "documents")
-    ranked = d.select(
-        F.md5("text").alias("h"),
-        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
-    )
+    # Ingestion rank via the range-bucketed exact row_number
+    # (registry.bucketed_row_number): per-bucket sorts + bounded
+    # offsets — no single-partition window at doc grain.
+    ranked = bucketed_row_number(
+        d.select("doc_id", F.md5("text").alias("h")), "doc_id"
+    ).select("h", "rk")
     first_seen = ranked.groupBy("h").agg(F.min("rk").alias("first_rk"))
+    # Checkpoint-grain accumulation, NOT a (hashes × checkpoints)
+    # crossJoin fan-out: each first-seen hash feeds its ⌈rk/step⌉
+    # bucket once; "unique ≤ c" becomes a cumulative sum on the
+    # bounded checkpoint spine — O(hashes + checkpoints), flat in the
+    # checkpoint count.
+    v_inc = first_seen.groupBy(
+        F.expr(
+            f"CAST((first_rk + {_SAT_STEP - 1}) DIV {_SAT_STEP} AS BIGINT)"
+        ).alias("j")
+    ).agg(F.count("*").cast("long").alias("dv"))
     n_docs = ranked.agg(F.max("rk").alias("max_rk"))
-    cks = n_docs.select(
+    spine = n_docs.select(
         F.explode(
-            F.sequence(F.lit(_SAT_STEP), F.col("max_rk"), F.lit(_SAT_STEP))
-        ).alias("c")
+            F.sequence(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST(max_rk DIV {_SAT_STEP} AS BIGINT)"),
+            )
+        ).alias("j")
     )
+    w_ck = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        first_seen.crossJoin(F.broadcast(cks))
-        .filter(F.col("first_rk") <= F.col("c"))
-        .groupBy("c")
-        .agg(F.count("*").cast("long").alias("n_unique"))
+        spine.join(v_inc, "j", "left")
         .select(
-            F.col("c").cast("long").alias("n_docs"),
+            (F.col("j") * _SAT_STEP).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("dv", F.lit(0)))
+            .over(w_ck)
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "n_docs",
             "n_unique",
             F.round(
-                1.0 - F.col("n_unique").cast("double") / F.col("c"), 6
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
             ).alias("dup_rate"),
         )
         .orderBy("n_docs")

@@ -44,7 +44,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -325,4 +325,85 @@ def sql_knuth_bucket(expr: str, m: int) -> str:
     return (
         f"((((({k} // 65536) * 2654435761) % 4294967296) * 65536"
         f" + ({k} % 65536) * 2654435761) % 4294967296) % {m}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact global ranks / prefix sums WITHOUT a single-partition sort
+# ---------------------------------------------------------------------------
+# The scale-correct spelling of "ROW_NUMBER()/cumulative SUM over a
+# total order of a fact-sized table": split the key domain into range
+# buckets from exact percentile_disc order statistics (the same value
+# the sampling RangePartitioner estimates — range_partition_boundaries
+# in plans/extras9.py is the standalone demo), rank/accumulate WITHIN
+# each bucket (a Window partitioned by bucket — every task sorts only
+# its bucket), and add each bucket's exclusive prefix total computed on
+# the BOUNDED bucket grain. The result is bit-identical to the global
+# window because bucket assignment is a monotone pure-column function
+# of the sort key (equal keys share a bucket) and the prefix totals are
+# exact — no dependence on where the split points land, so lazy
+# re-computation across plan branches is safe (unlike
+# spark_partition_id() tricks).
+
+
+def range_bucket(df: DataFrame, key: str, n_buckets: int = 16) -> DataFrame:
+    """Attach ``__bkt`` (0..n_buckets-1, monotone non-decreasing in
+    ``key``) from exact percentile_disc split points of ``key``.
+
+    ``key`` must be an ascending-sortable atomic column. For a DESC
+    order, pass a negated copy of the column. One extra aggregate scan
+    computes the bounded split-point array; assignment is a broadcast
+    fold per row (zero shuffle).
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY {key})"
+                )
+                for q in fracs
+            ]
+        ).alias("__bounds")
+    )
+    fold = F.aggregate(
+        "__bounds",
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col(key) > x, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__bkt", fold)
+        .drop("__bounds")
+    )
+
+
+def bucket_offsets(bucketed: DataFrame, val: Column, out: str = "__off") -> DataFrame:
+    """Exclusive prefix totals of ``val`` per ``__bkt``: (__bkt, out)
+    with out = Σ val over all LOWER buckets. The cumulative window runs
+    on the bucket grain (n_buckets rows) — broadcast the result back.
+    """
+    subs = bucketed.groupBy("__bkt").agg(F.sum(val).alias("__sub"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    return subs.select(
+        "__bkt",
+        F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias(out),
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame, key: str, out: str = "rk", n_buckets: int = 16
+) -> DataFrame:
+    """Exact global ROW_NUMBER() OVER (ORDER BY key) — ``key`` must be
+    UNIQUE (no tie-break column) — as bucket-local row_numbers plus
+    bucket row-count offsets. Returns df's columns + ``out`` (long).
+    """
+    bucketed = range_bucket(df, key, n_buckets)
+    w_loc = Window.partitionBy("__bkt").orderBy(key)
+    offs = bucket_offsets(bucketed, F.lit(1), "__off")
+    return (
+        bucketed.withColumn("__lrk", F.row_number().over(w_loc))
+        .join(F.broadcast(offs), "__bkt")
+        .withColumn(out, (F.col("__lrk") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__lrk", "__off")
     )
