@@ -381,3 +381,116 @@ def test_no_expensive_expr_inside_lambdas(spark, sf_dir):
         f"re-evaluation) in: {offenders} — let-bind the input with "
         "functions/text.py _let"
     )
+
+
+# Queries allowed to contain single-partition Window nodes, with the
+# BOUNDED grain that justifies each (re-censused for round 9; the
+# verdict's 100x-scale lens: an unpartitioned ranking/cumulative window
+# is only acceptable when its input grain is structurally bounded —
+# days, buckets, cells, value-or-vocab grain with a documented
+# bucket-first hook, or a TakeOrdered top-k). Counts are plan-tree node
+# instances (lazy branch re-execution can duplicate a bounded site).
+SINGLE_PARTITION_WINDOW_GRAINS = {
+    "abc_classification": (1, "part-class cumulative, value grain"),
+    "acf_table_daily": (2, "calendar day grain"),
+    "auc_quality_langid": (1, "ROC over score grain, bucket hook documented"),
+    "autocorr_daily_revenue": (1, "calendar day grain"),
+    "benjamini_hochberg_promo": (1, "p-value family grain (bounded tests)"),
+    "changepoint_single_split": (1, "calendar day grain"),
+    "chi_square_independence": (1, "contingency cell grain"),
+    "cliffs_delta_priority": (1, "value-grain cells, bucket hook documented"),
+    "cumulative_distinct_users": (1, "calendar day grain"),
+    "cusum_drift_daily": (1, "calendar day grain"),
+    "decile_lift_table": (3, "range-bucket offsets + 10-row decile grain"),
+    "dedup_saturation_curve": (2, "bucket offsets + checkpoint spine"),
+    "forecast_mase_seasonal": (1, "calendar day grain"),
+    "gini_impurity_feature_split": (1, "candidate split grain"),
+    "heaps_law_exponent": (4, "bucket offsets + checkpoint spine"),
+    "hurst_rs_exponent": (1, "calendar day grain (block sizes bounded)"),
+    "isotonic_calibration_bins": (2, "calibration bin grain (PAVA unroll)"),
+    "kaplan_meier_survival": (1, "duration grain (hours, bounded)"),
+    "kruskal_wallis_h": (1, "value-grain cells, bucket hook documented"),
+    "ks_two_sample_drift": (1, "value grain, bucketed twin registered"),
+    "largest_remainder_apportion": (1, "nation grain (25 rows)"),
+    "logrank_survival_ab": (1, "duration grain (hours, bounded)"),
+    "mann_whitney_u": (1, "value-grain cells (kruskal_wallis spelling)"),
+    "market_concentration_hhi": (1, "supplier-share grain"),
+    "monetary_unit_sample": (1, "range-bucket offsets (bounded buckets)"),
+    "mutual_information_flags": (1, "flag-pair cell grain"),
+    "nelson_aalen_hazard": (1, "duration grain (hours, bounded)"),
+    "neyman_allocation_sample": (1, "stratum grain"),
+    "otsu_quality_threshold": (2, "score-histogram bin grain"),
+    "page_hinkley_drift_daily": (1, "calendar day grain"),
+    "periodogram_fixed_freqs": (1, "calendar day grain x fixed freqs"),
+    "permutation_entropy_daily": (3, "calendar day grain"),
+    "rbo_ranker_agreement": (1, "top-k rank grain (bounded k)"),
+    "runs_test_daily_revenue": (1, "calendar day grain"),
+    "share_of_parent_rollup": (1, "rollup group grain"),
+    "sprt_sequential_test": (3, "calendar day grain (sequential walk)"),
+    "theil_sen_slope_daily": (1, "calendar day grain"),
+    "unigram_neg_sampling_table": (1, "vocab grain"),
+    "vocab_coverage": (1, "vocab grain"),
+    "weekly_revenue_growth": (1, "calendar week grain"),
+    "wilcoxon_signed_rank": (1, "value-grain cells of paired diffs"),
+}
+
+
+def _single_partition_windows(df) -> int:
+    """Count Window nodes whose single-child chain reaches an Exchange
+    with SinglePartition output partitioning, in the prepared physical
+    plan (executedPlan, AQE wrapper unwrapped — sparkPlan() is
+    pre-EnsureRequirements and has no Exchange nodes). Bounded top-k
+    windows over TakeOrderedAndProject need no Exchange and are
+    invisible here by construction. Mirror: tools/window_census.py."""
+
+    def _children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.length())]
+
+    top = df._jdf.queryExecution().executedPlan()
+    if top.nodeName() == "AdaptiveSparkPlan":
+        top = top.executedPlan()
+    n_hits = 0
+    stack = [top]
+    while stack:
+        node = stack.pop()
+        kids = _children(node)
+        if node.nodeName() == "Window":
+            cur = kids[0] if kids else None
+            while cur is not None:
+                name = cur.nodeName()
+                if name == "Exchange":
+                    if "SinglePartition" in cur.outputPartitioning().toString():
+                        n_hits += 1
+                    break
+                if name == "Window":
+                    break
+                ck = _children(cur)
+                if len(ck) != 1:
+                    break
+                cur = ck[0]
+        stack.extend(kids)
+    return n_hits
+
+
+def test_single_partition_windows_are_allowlisted(spark, sf_dir):
+    # The round-8 verdict's scale-killer class: a row_number/rank/
+    # cumulative window over an unpartitioned Window whose input is a
+    # fact/corpus table means ONE task sorts everything at 100 TB.
+    # Every remaining single-partition window must be a declared
+    # bounded grain above; a new query (or a regression of the 8
+    # fixed in round 9 — vsm/bm25/rocchio/mann_whitney/heaps/
+    # saturation/decile_lift/monetary_unit) fails here.
+    offenders = []
+    for name in REGISTRY:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = _single_partition_windows(df)
+        allowed = SINGLE_PARTITION_WINDOW_GRAINS.get(name, (0, ""))[0]
+        if n > allowed:
+            offenders.append((name, n, allowed))
+    assert not offenders, (
+        "single-partition Window over an undeclared grain (fix the plan "
+        "to a bounded-grain spelling — registry.bucketed_row_number / "
+        "range_bucket / orderBy().limit() — or declare the bounded "
+        f"grain in SINGLE_PARTITION_WINDOW_GRAINS): {offenders}"
+    )

@@ -333,8 +333,8 @@ def sql_knuth_bucket(expr: str, m: int) -> str:
 # ---------------------------------------------------------------------------
 # The scale-correct spelling of "ROW_NUMBER()/cumulative SUM over a
 # total order of a fact-sized table": split the key domain into range
-# buckets from exact percentile_disc order statistics (the same value
-# the sampling RangePartitioner estimates — range_partition_boundaries
+# buckets from approx_percentile split points (the same statistic the
+# sampling RangePartitioner estimates — range_partition_boundaries
 # in plans/extras9.py is the standalone demo), rank/accumulate WITHIN
 # each bucket (a Window partitioned by bucket — every task sorts only
 # its bucket), and add each bucket's exclusive prefix total computed on
@@ -348,34 +348,34 @@ def sql_knuth_bucket(expr: str, m: int) -> str:
 
 def range_bucket(df: DataFrame, key: str, n_buckets: int = 16) -> DataFrame:
     """Attach ``__bkt`` (0..n_buckets-1, monotone non-decreasing in
-    ``key``) from exact percentile_disc split points of ``key``.
+    ``key``) from approx_percentile split points of ``key``.
 
     ``key`` must be an ascending-sortable atomic column. For a DESC
-    order, pass a negated copy of the column. One extra aggregate scan
-    computes the bounded split-point array; assignment is a broadcast
-    fold per row (zero shuffle).
+    order, pass a negated copy of the column.
+
+    The split points come from ONE approx_percentile sketch (never N
+    scalar percentile_disc aggs — each of those buffers the full
+    column, the engine's documented percentile-buffer trap) and are
+    COLLECTED to literals: a bounded ≤n_buckets-value driver fetch
+    (the PQ-codebook-to-literal precedent, llm_ops4.py) that makes
+    bucket assignment a pure literal fold — whole-stage-codegen row
+    math, zero joins, and trivially consistent when the bucketed
+    frame is lazily recomputed across plan branches. Split-point
+    PLACEMENT only affects balance, never results: ranks/offsets are
+    computed from actual bucket contents.
     """
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY {key})"
-                )
-                for q in fracs
-            ]
+    row = df.agg(
+        F.expr(
+            f"approx_percentile({key}, array({', '.join(map(repr, fracs))}),"
+            " 10000)"
         ).alias("__bounds")
-    )
-    fold = F.aggregate(
-        "__bounds",
-        F.lit(0),
-        lambda acc, x: acc + F.when(F.col(key) > x, 1).otherwise(0),
-    )
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("__bkt", fold)
-        .drop("__bounds")
-    )
+    ).collect()[0]
+    bounds = row["__bounds"] or []
+    fold = F.lit(0)
+    for b in bounds:
+        fold = fold + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    return df.withColumn("__bkt", fold)
 
 
 def bucket_offsets(bucketed: DataFrame, val: Column, out: str = "__off") -> DataFrame:
