@@ -22,12 +22,15 @@ stable across rounds — so a query's chunk position never shifts with
 the registry's per-round export rotation; round-over-round deltas now
 mean plan changes, not suite-position changes.
 
-Within a chunk, each query is forced end-to-end with a noop sink (full
-computation, no collect/serialization cost — the same way a cluster
-job would terminate in a write) and runs BENCH_RUNS times keeping the
-fastest — the first run of a plan shape pays one-time Janino codegen
-compilation, amortized to nothing over a real workload, so
-steady-state is the honest engine-speed number.
+Within a chunk, each query is forced end-to-end through its OWN
+QueryExecution (an RDD count over the executed plan — full
+computation, every InternalRow consumed, nothing shipped to the
+driver but a count; r9, replacing the noop write whose separate
+write-command QueryExecution left df's plan AQE-initial and blinded
+the plan fingerprint to runtime SMJ→BHJ/skew decisions) and runs
+BENCH_RUNS times keeping the fastest — the first run of a plan shape
+pays one-time Janino codegen compilation, amortized to nothing over a
+real workload, so steady-state is the honest engine-speed number.
 
 Calibration (round-6 fix): the r5 regression tracker stored RAW best
 seconds, seeded in one mid-round run that happened to land on a fast
@@ -139,10 +142,24 @@ _PLAN_TOKENS = (
 )
 
 
+def _execute(df) -> None:
+    """Force df end-to-end through its OWN QueryExecution. A noop
+    write executes a SEPARATE write-command QueryExecution and leaves
+    df's own plan un-executed — with AQE, _plan_counters would then
+    stringify the INITIAL plan (isFinalPlan=false) and runtime
+    SMJ→BHJ conversions / skew splits could never move the
+    fingerprint (round-8 advisor finding). Executing the plan's RDD
+    and counting materializes every adaptive stage and finalizes
+    executedPlan; like the noop sink it consumes every InternalRow
+    and ships nothing to the driver but a count."""
+    df._jdf.queryExecution().executedPlan().execute().count()
+
+
 def _plan_counters(df) -> dict[str, int] | None:
-    """Nonzero token counts of the POST-EXECUTION physical plan (AQE
-    final where applicable) — the per-query plan fingerprint archived
-    next to its wall-time. None = extraction failed (the query is then
+    """Nonzero token counts of the POST-EXECUTION physical plan — AQE
+    FINAL, guaranteed by _execute() having run df's own
+    QueryExecution — the per-query plan fingerprint archived next to
+    its wall-time. None = extraction failed (the query is then
     excluded from plan-based auto-clearing rather than recorded with a
     fake pure-scan fingerprint); an EMPTY dict is a real fingerprint
     (no exchange/join/agg tokens — the pure-scan shape)."""
@@ -150,8 +167,28 @@ def _plan_counters(df) -> dict[str, int] | None:
         s = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return None
+    # An executed AdaptiveSparkPlanExec stringifies BOTH its final and
+    # its initial plan — count tokens in the final section only.
+    s = s.split("== Initial Plan ==")[0]
     out = {t.strip(): s.count(t) for t in _PLAN_TOKENS}
     return {k: v for k, v in out.items() if v}
+
+
+def _source_hash(name: str) -> str | None:
+    """md5 of the query function's source text. Plan-unchanged
+    auto-clearing additionally requires the SOURCE to be unchanged:
+    expression-level edits (projection math, lambda bodies) leave
+    every operator token count identical, so without this gate a real
+    code regression would be silently absorbed into the rolling
+    median (round-8 advisor finding)."""
+    try:
+        import inspect
+
+        return hashlib.md5(
+            inspect.getsource(REGISTRY[name].fn).encode()
+        ).hexdigest()[:12]
+    except (OSError, TypeError, KeyError):
+        return None
 
 
 def _plan_hash(counters: dict[str, int]) -> str:
@@ -188,13 +225,18 @@ def _flag_and_update_history(
     comparable to flag against).
 
     `plans` maps query → plan-counter dict for this run (r8). When a
-    query's plan hash equals the stored hash from the prior run, an
-    over-ratio observation is NOT flagged — plan-unchanged drift is
-    environment by definition (the r7 robust_zscore adjudication,
-    mechanized) — and IS appended, so the rolling median absorbs the
-    new environmental level. Flags therefore mean "slower AND the
-    physical plan moved". Queries with no stored/current plan hash
-    flag as before.
+    query's plan hash equals the stored hash from the prior run AND
+    its source hash is also unchanged (r9 — expression-level edits
+    move no operator token, so plan identity alone cannot prove
+    "environment"), an over-ratio observation is NOT flagged —
+    plan+source-unchanged drift is environment by definition (the r7
+    robust_zscore adjudication, mechanized) — and IS appended, so the
+    rolling median absorbs the new environmental level; it is
+    reported once in the `suppressed` return value (r9 — the human
+    sees every auto-cleared over-ratio instead of a silent clear).
+    Flags therefore mean "slower AND (the physical plan or the query
+    source moved)". Queries with no stored/current plan hash flag as
+    before.
     """
     hist = _load_history()
     reseeded = hist.get("epoch") != EPOCH or hist.get("sf") != sf
@@ -202,7 +244,9 @@ def _flag_and_update_history(
         hist = {"epoch": EPOCH, "sf": sf, "norms": {}}
     store = hist.setdefault("norms", {})
     plan_store = hist.setdefault("plans", {})
+    src_store = hist.setdefault("sources", {})
     regressions = []
+    suppressed = []
     for name, r in norms.items():
         prior = store.get(name) or []
         # Require ≥3 prior samples before flagging: a 1-2 sample
@@ -218,20 +262,28 @@ def _flag_and_update_history(
         # missing entry (query not measured this run) yields None.
         cur_plan = (plans or {}).get(name)
         cur_hash = _plan_hash(cur_plan) if cur_plan is not None else None
+        cur_src = _source_hash(name)
         plan_unchanged = (
-            cur_hash is not None and plan_store.get(name) == cur_hash
+            cur_hash is not None
+            and plan_store.get(name) == cur_hash
+            and cur_src is not None
+            and src_store.get(name) == cur_src
         )
         if cur_hash is not None:
             plan_store[name] = cur_hash
-        if not reseeded and exceeds and not below_floor and not plan_unchanged:
-            regressions.append(
-                {
-                    "query": name,
-                    "norm": round(r, 3),
-                    "median_norm": round(ref, 3),
-                    "ratio": round(r / ref, 2),
-                }
-            )
+        if cur_src is not None:
+            src_store[name] = cur_src
+        if not reseeded and exceeds and not below_floor:
+            entry = {
+                "query": name,
+                "norm": round(r, 3),
+                "median_norm": round(ref, 3),
+                "ratio": round(r / ref, 2),
+            }
+            if plan_unchanged:
+                suppressed.append(entry)
+            else:
+                regressions.append(entry)
         # Skip the append when the observation exceeds the regression
         # ratio but is shielded by a floor: appending would absorb the
         # regressed norms into the rolling median and a 1.0->2.0-norm
@@ -244,12 +296,13 @@ def _flag_and_update_history(
         if plan_unchanged or not (exceeds and below_floor):
             store[name] = (prior + [round(r, 4)])[-HISTORY_DEPTH:]
     regressions.sort(key=lambda r: -r["ratio"])
+    suppressed.sort(key=lambda r: -r["ratio"])
     try:
         with open(HISTORY_PATH, "w") as f:
             json.dump(hist, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: still report, just don't append
-    return regressions, reseeded
+    return regressions, suppressed, reseeded
 
 
 def _confirm_regressions(
@@ -348,16 +401,15 @@ def _calibrate(spark, sf_dir: str) -> float:
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        (
-            li.groupBy("l_returnflag", "l_linestatus")
-            .agg(
+        # Same execution protocol as the measured queries (_execute:
+        # the frame's own QueryExecution, RDD count sink) so norms
+        # divide like by like.
+        _execute(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
                 F.sum("l_quantity").alias("sum_qty"),
                 F.sum("l_extendedprice").alias("sum_price"),
                 F.count("*").alias("n"),
             )
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
         )
         best = min(best, time.perf_counter() - t0)
     return best
@@ -416,7 +468,7 @@ def _run_in_process(
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _execute(df)
             t = time.perf_counter() - t0
             improved = t < best * 0.85
             best = min(best, t)
@@ -519,6 +571,8 @@ def _summary_line(out: dict, timings: dict[str, float]) -> dict:
         summary["regressions"] = out["regressions"][:8]
         if len(out["regressions"]) > 8:
             summary["regressions_truncated"] = len(out["regressions"])
+    if out.get("suppressed_by_plan"):
+        summary["suppressed_by_plan"] = out["suppressed_by_plan"][:4]
     return summary
 
 
@@ -616,13 +670,17 @@ def main() -> None:
             # The history epoch tracks the default driver SF only —
             # full runs at other SFs are not comparable and must not
             # touch (let alone reseed) the stored bests.
-            regressions, reseeded = _flag_and_update_history(
+            regressions, suppressed, reseeded = _flag_and_update_history(
                 norms, out["sf"], raw=timings, plans=plans
             )
             out["regression_candidates"] = len(regressions)
             if regressions:
                 regressions = _confirm_regressions(regressions, sf_dir)
             out["regressions"] = regressions
+            # Over-ratio observations auto-cleared because plan AND
+            # source were unchanged (environment by adjudication) —
+            # surfaced once for a human instead of vanishing.
+            out["suppressed_by_plan"] = suppressed
             out["history_reseeded"] = reseeded
     print(json.dumps(out))
     if not subset:
@@ -660,6 +718,7 @@ def main() -> None:
             else:
                 for k in (
                     "plan_counters_note",
+                    "suppressed_by_plan",
                     "regressions_truncated",
                     "regressions",
                     "history_reseeded",

@@ -132,10 +132,17 @@ def component_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near pairs have doc_a < doc_b and exact pairs rep < copy, so the
     # src < dst half of the symmetric edge set IS the undirected pair
     # union — one filter of the already-checkpointed frame instead of
-    # a second LSH verify pass
-    all_pairs = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    # a second LSH verify pass. localCheckpoint the sparse pair half
+    # so the caller-owned edges cache can be released NOW (comp is
+    # already checkpointed): without the unpersist the entry leaked
+    # for the whole session (cc_superstep_convergence, extras34,
+    # releases the same frame — round-8 advisor finding).
+    all_pairs = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .localCheckpoint()
     )
+    edges.unpersist()
     sa = asg.select(F.col("doc_id").alias("doc_a"), F.col("r").alias("ra"))
     sb = asg.select(F.col("doc_id").alias("doc_b"), F.col("r").alias("rb"))
     leak = (

@@ -80,182 +80,87 @@ def register(
 # Export ordering
 # ---------------------------------------------------------------------------
 # The verification driver checks a bounded prefix (first 50) of the
-# exported query dict each round, so export order is rotated per round to
-# maximize cumulative driver-verified coverage: queries that are new,
-# changed this round, or never driver-checked come first; queries with a
-# green CORRECTNESS row from a prior round come last (they stay registered
-# and locally verified — tools/verify_local.py covers the full inventory).
+# exported query dict each round, so export order is rotated per round
+# to maximize cumulative driver-verified coverage: queries that have
+# never been driver-checked come first; queries with a green
+# CORRECTNESS row from a prior round come last (they stay registered
+# and locally verified -- tools/verify_local.py covers the full
+# inventory).
 #
-# Round-8 priority (the driver checks the first 50): (1) the four NEW
-# round-8 registrations (extras34): percentile_sketch_error (the
-# percentile-buffer -> sampled-sketch substitution audit),
-# pagerank_residual_audit + cc_superstep_convergence (convergence
-# audits for the fixed-superstep iterative family), and
-# join_skew_salted_exec (the advisor->execution skew round trip);
-# (2) queries CHANGED this round, re-checked while changed:
-# jaccard_prefix_filter_pairs (prefix index re-keyed to xxhash64
-# digests), dedup_embedding_cosine + dedup_threshold_frontier
-# (adaptive_sign_bucket moved to try_element_at for ANSI parity), and
-# pagerank_trade_network (rank chain extracted for the residual
-# audit — plan unchanged, re-witnessed anyway); (3) the REMAINING 27
-# round-1-vintage rows — every query whose only driver evidence
-# predates round 2 (the round-7 digest re-keying and lambda-CSE
-# rewrites changed many of their physical plans: dedup_exact,
-# bpe_token_count, the minhash/text families); (4) 10 of the 38
-# round-2-vintage rows, dedup/text-family first (the rest rotate in
-# round 9, after which no green row predates round 3).
-# Everything later in the dict has a green row from rounds 3-7 and
+# Round-9 rotation (consolidation -- the round-8 verdict's task 1):
+# registry growth is FROZEN this round and ALL 50 driver slots go to
+# the witnessing backlog. The tuple below is exactly:
+#   (1) the 42 queries that have never had a driver CORRECTNESS row
+#       (the extras51-64 registrations that landed after the round-8
+#       driver check ran), including the five of them whose plans were
+#       rewritten this round (vsm_tfidf_ranking, rocchio_prf_rerank,
+#       heaps_law_exponent, dedup_saturation_curve,
+#       monetary_unit_sample -- re-witnessed while changed);
+#   (2) 8 of the 27 round-1-vintage rows, dedup/text family first
+#       (dedup_exact, dedup_exact_normalized, doc_fingerprint,
+#       minhash_signatures, dedup_minhash_lsh, bpe_token_count,
+#       text_token_stats, text_quality_score) -- the r7 digest
+#       re-keying and lambda-CSE rewrites changed their physical
+#       plans, so their r1 evidence is the stalest.
+# Round 10 takes the remaining 19 r1-vintage + 37 r2-vintage rows.
+# Everything later in the dict has a green row from rounds 3-8 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
 EXPORT_FIRST: tuple[str, ...] = (
-    # new in round 8 (extras39): privacy triad completion, graph
-    # peeling, multi-touch attribution, quality-vs-language AUC
-    "t_closeness_check",
-    "kcore_copurchase",
-    "attribution_multi_touch",
-    "auc_quality_langid",
-    # new in round 8 (extras40): clustering coefficient at fact-graph
-    # scale, Markov steady state
-    "clustering_coeff_copurchase",
-    "markov_stationary_events",
-    # new in round 8 (extras41): mutual-best-match linkage, bag
-    # Jaccard, quality-gate disparity audit
-    "reciprocal_best_match",
-    "bag_jaccard_pairs",
-    "quality_gate_disparity",
-    # new in round 8 (extras42): winnowing fingerprints, BPE merge
-    # training, RAKE keywords
-    "winnowing_fingerprints",
-    "bpe_merge_training",
-    "rake_keywords",
-    # new in round 8 (extras43): isotonic calibration, split-conformal
-    # coverage, MAP/MRR retrieval eval
-    "isotonic_calibration_bins",
-    "conformal_split_coverage",
-    "retrieval_map_mrr",
-    # new in round 8 (extras44): Kneser-Ney LM, Fellegi-Sunter
-    # linkage weights, split-leakage audit
-    "kneser_ney_bigram_lm",
-    "fellegi_sunter_patterns",
-    "split_leakage_audit",
-    # new in round 8 (extras45): component-keyed leak-free split,
-    # DSIR importance weights, KN-perplexity outlier gate
-    "component_split_assign",
-    "dsir_importance_weights",
-    "perplexity_outlier_gate",
-    # new in round 8 (extras46): Neyman allocation, JL distortion
-    # audit, MASE forecast evaluation
-    "neyman_allocation_sample",
-    "jl_projection_distortion",
-    "forecast_mase_seasonal",
-    # new in round 8 (extras47): SemDeDup prune, DP sensitivity
-    # audit, Dirichlet query-likelihood ranking
-    "semdedup_cluster_prune",
-    "dp_sensitivity_audit",
-    "query_likelihood_dirichlet",
-    # new in round 8 (extras48): Matryoshka truncation recall,
-    # stratified ATE, Merkle bucket diff
-    "matryoshka_truncation_recall",
-    "stratified_ate_adjustment",
-    "merkle_bucket_diff",
-    # new in round 8 (extras49): Otsu threshold, Chao1 vocabulary
-    # estimate, JM smoothing frontier
-    "otsu_quality_threshold",
-    "chao1_vocab_estimate",
-    "jm_smoothing_frontier",
-    # new in round 8 (extras50): TextTiling chunk boundaries,
-    # cluster NMI/purity, RBO ranker agreement
-    "texttiling_boundaries",
-    "cluster_nmi_purity",
-    "rbo_ranker_agreement",
-    # (extras51-extras64 — 42 further round-8 registrations
-    # (sequential patterns / dispersion / neg-sampling table; the
-    # ANOVA/KW/Cochran-Armitage test family; HITS/Adamic-Adar/dyad
-    # census; lift table/McNemar/Cliff's delta; periodogram/
-    # permutation-entropy/burstiness; price indices/ABC/Theil;
-    # TextRank/Hurst/Heaps; centroid outliers/silhouette/absorption;
-    # CUPED/odds-ratio/Hill; VSM/Rocchio-PRF/ERR; SPRT/Huber/Grubbs;
-    # MUS sampling/jackknife/capture-recapture; ESD/Allen/ACF;
-    # MDE/saturation/Nelson-Aalen) — landed after the 50-slot prefix
-    # filled with this round's 45 earlier new registrations; every
-    # one verified locally at sf0.001 AND sf0.01 under both ANSI
-    # modes plus a pandas/numpy depth test. Round 9's prefix leads
-    # with them plus the deferred r1/r2 rotations.)
-    # new in round 8 (extras34)
-    "percentile_sketch_error",
-    "robust_zscore_sketch_parity",
-    # new in round 8 (extras35): Z-order layout audit
-    "zorder_layout_audit",
-    # new in round 8 (extras36): theta-sketch intersection NDV
-    "ndv_intersection_sketch_error",
-    # new in round 8 (extras37): incremental MV maintenance parity
-    "mv_incremental_agg_parity",
-    # new in round 8 (extras38): duplicate-cluster canonicalization
-    "cc_canonical_selection",
-    "pagerank_residual_audit",
-    "cc_superstep_convergence",
-    "join_skew_salted_exec",
-    # changed in round 8 — re-driver-checked while changed
-    "jaccard_prefix_filter_pairs",
-    "dedup_embedding_cosine",
-    "dedup_threshold_frontier",
-    "pagerank_trade_network",
-    # round-1-vintage rows (all 27 that remain)
-    # (bpe_token_count / lang_id_heuristic / minhash_signatures:
-    # r1-vintage rows deferred to round 9 for the extras48 slots —
-    # bpe_token_count's apply path is exercised by the r8-checked
-    # bpe_merge_training pair; lang-id/minhash surfaces by the
-    # r6-r8-green langid-confusion and minhash-LSH families)
-    # (conditional_agg / cube_status_priority / grouping_sets_status_
-    # priority: r1-vintage agg surfaces untouched by the text-family
-    # rewrites — deferred to round 9 for the extras45 slots)
-    # (dedup_exact / text_quality_score / text_token_stats: the final
-    # r1-vintage rows, deferred to round 9 for the extras50 slots —
-    # all three surfaces are transitively exercised by r7/r8-green
-    # composites (dedup_exact by cc_canonical/minhash chains; the two
-    # text stats by the quality-gate/perplexity/Otsu queries that
-    # embed their exact expressions). Round 9's rotation leads with
-    # them plus the remaining r2 rows.)
-    # (dedup_exact_normalized / dedup_minhash_lsh / conform_defaults-
-    # era remainders: deferred to round 9 for the extras49 slots —
-    # dedup_exact_normalized shares dedup_exact's rewritten scan,
-    # dedup_minhash_lsh underlies five r7/r8-green composite rows)
-    # (dedup_first_wins / doc_fingerprint / label_centroids:
-    # r1-vintage rows deferred to round 9 for the extras46 slots —
-    # dedup_first_wins is a pure window surface; doc_fingerprint and
-    # label_centroids are covered transitively by the r7/r8-green
-    # fingerprint/kmeans families)
-    # (embedding_ivf_topk / embedding_lsh_topk / embedding_topk_cosine:
-    # r1-vintage rows deferred to round 9 for the extras47 slots — the
-    # index paths are transitively exercised by the r5-r8-green recall
-    # gates and frontier queries built on the same helpers)
-    # (haversine_travel / intersect_nations / lead_and_share_of_total:
-    # r1-vintage scalar/set/window surfaces untouched by the text-
-    # family rewrites — deferred to round 9 for the extras44 slots)
-    # (moving_avg_frame / rank_customers_by_balance /
-    # rank_function_surface / rest_days_lag / sort_limit_topn /
-    # window_top2_per_key / zscore_by_group: r1-vintage window/sort
-    # surfaces UNTOUCHED by the round-7 text-family rewrites —
-    # deferred to the round-9 rotation to make room for the six new
-    # extras42/extras43 registrations under the 50 cap; the text-
-    # family r1 rows below stay because their plans DID change)
-    # round-2-vintage rows, dedup/text family first (15 of 38; the
-    # remaining 23 rotate in round 9)
-    "dedup_connected_components",
-    # (bootstrap_priors, fractional_odds, cohort_retention,
-    # percentile_prices, rolling_anomaly_score, json_roundtrip,
-    # data_quality_profile, forward_fill, as_of_join, tfidf_top_terms,
-    # multimodal_binary_meta, dedup_simhash, simhash_signatures and
-    # jaccard_shingle_pairs yielded their slots to the fourteen
-    # end-of-round registrations robust_zscore_sketch_parity,
-    # zorder_layout_audit, ndv_intersection_sketch_error,
-    # mv_incremental_agg_parity, cc_canonical_selection,
-    # t_closeness_check, kcore_copurchase, attribution_multi_touch,
-    # auc_quality_langid, clustering_coeff_copurchase,
-    # markov_stationary_events, reciprocal_best_match,
-    # bag_jaccard_pairs and quality_gate_disparity — new queries are
-    # driver-checked while new; all displaced r2 rows rejoin the
-    # rotation in round 9.)
+    # (1) never driver-checked: extras51-53 (sequence mining, burstiness,
+    # sampling tables, ANOVA/rank tests, trend tests)
+    "sequential_pattern_support",
+    "event_dispersion_index",
+    "unigram_neg_sampling_table",
+    "oneway_anova_f",
+    "kruskal_wallis_h",
+    "cochran_armitage_trend",
+    "hits_hub_authority",
+    "adamic_adar_linkpred",
+    "dyad_census_trade",
+    "decile_lift_table",
+    "mcnemar_paired_gates",
+    "cliffs_delta_priority",
+    "periodogram_fixed_freqs",
+    "permutation_entropy_daily",
+    "burstiness_interevent",
+    "price_index_fisher",
+    "abc_classification",
+    "theil_index_decomposition",
+    "textrank_keywords",
+    "hurst_rs_exponent",
+    "heaps_law_exponent",
+    "centroid_distance_outliers",
+    "simplified_silhouette",
+    "markov_absorption_funnel",
+    "cuped_variance_reduction",
+    "odds_ratio_gates",
+    "hill_diversity_profile",
+    "vsm_tfidf_ranking",
+    "rocchio_prf_rerank",
+    "err_cascade_metric",
+    "sprt_sequential_test",
+    "huber_location_irls",
+    "grubbs_extreme_day",
+    "monetary_unit_sample",
+    "jackknife_group_influence",
+    "capture_recapture_ndv",
+    "esd_outlier_sequence",
+    "allen_interval_census",
+    "acf_table_daily",
+    "mde_power_analysis",
+    "dedup_saturation_curve",
+    "nelson_aalen_hazard",
+    # (2) stalest r1-vintage rows: dedup/text family (plans changed by
+    # the r7 digest re-keying and lambda-CSE rewrites)
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "bpe_token_count",
+    "text_token_stats",
+    "text_quality_score",
 )
 
 
