@@ -410,6 +410,7 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "isotonic_calibration_bins": (2, "calibration bin grain (PAVA unroll)"),
     "kaplan_meier_survival": (1, "duration grain (hours, bounded)"),
     "kruskal_wallis_h": (1, "value-grain cells, bucket hook documented"),
+    "ks_bucketed_drift": (2, "bucket grain + value-grain audit side"),
     "ks_two_sample_drift": (1, "value grain, bucketed twin registered"),
     "largest_remainder_apportion": (1, "nation grain (25 rows)"),
     "logrank_survival_ab": (1, "duration grain (hours, bounded)"),

@@ -542,3 +542,163 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.col("_d") > crit).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-first KS twin: the 100 TB spelling, self-auditing vs exact
+# ---------------------------------------------------------------------------
+
+_KSB_WIDTH_CENTS = 10_000  # $100-wide buckets: price span / 100 ≈ 1.1k buckets
+
+_KSB_ORACLE = f"""
+WITH sample AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END
+           AS grp_a
+  FROM lineitem
+),
+counts AS (
+  SELECT v, SUM(grp_a) AS ca, COUNT(*) - SUM(grp_a) AS cb
+  FROM sample GROUP BY v
+),
+totals AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+),
+ecdf AS (
+  SELECT SUM(ca) OVER (ORDER BY v) * 1.0 / NULLIF(totals.na, 0) AS fa,
+         SUM(cb) OVER (ORDER BY v) * 1.0 / NULLIF(totals.nb, 0) AS fb
+  FROM counts, totals
+),
+dex AS (SELECT MAX(ABS(fa - fb)) AS d_exact FROM ecdf),
+bcounts AS (
+  SELECT CAST(v * 100 AS BIGINT) // {_KSB_WIDTH_CENTS} AS b,
+         SUM(ca) AS ba, SUM(cb) AS bb
+  FROM counts GROUP BY 1
+),
+becdf AS (
+  SELECT SUM(ba) OVER (ORDER BY b) * 1.0 / NULLIF(totals.na, 0) AS fa,
+         SUM(bb) OVER (ORDER BY b) * 1.0 / NULLIF(totals.nb, 0) AS fb,
+         ba * 1.0 / NULLIF(totals.na, 0)
+           + bb * 1.0 / NULLIF(totals.nb, 0) AS mass
+  FROM bcounts, totals
+),
+bagg AS (
+  SELECT MAX(ABS(fa - fb)) AS d_hat, MAX(mass) AS bound,
+         CAST(COUNT(*) AS BIGINT) AS nbk
+  FROM becdf
+)
+SELECT CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       b.nbk AS n_buckets,
+       ROUND(d.d_exact, 6) AS ks_d_exact,
+       ROUND(b.d_hat, 6) AS ks_d_bucketed,
+       ROUND(b.bound, 6) AS gap_bound,
+       (d.d_exact >= b.d_hat AND d.d_exact <= b.d_hat + b.bound)
+         AS within_bound,
+       ((d.d_exact > 1.358 * SQRT((t.na + t.nb) * 1.0
+                                  / NULLIF(t.na * t.nb, 0)))
+        = (b.d_hat > 1.358 * SQRT((t.na + t.nb) * 1.0
+                                  / NULLIF(t.na * t.nb, 0))))
+         AS decision_agrees
+FROM totals t, dex d, bagg b
+"""
+
+
+@register("ks_bucketed_drift", oracle=_KSB_ORACLE, tags=("stats", "audit"))
+def ks_bucketed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-first KS drift twin with its own substitution audit —
+    the executable version of ``ks_two_sample_drift``'s "at 100 TB
+    you'd quantize values first" docstring promise (the
+    percentile_sketch_error pattern applied to a rank statistic).
+
+    The exact two-sample D runs at value grain (distinct prices ≈ row
+    grain for a continuous money column — fine at test SF, the thing
+    being replaced at 100 TB). The production spelling buckets prices
+    into fixed $100 cells FIRST (pure integer cents DIV — the bucket
+    count is bounded by the price RANGE, not the corpus), computes D̂
+    over the ~1.1k bucket boundaries, and carries its analytic error
+    bound: evaluating the ECDF gap only at bucket edges misses at
+    most one bucket's combined probability mass, so
+    D̂ ≤ D ≤ D̂ + max_b(ca_b/n_a + cb_b/n_b). Both the bound
+    (within_bound) and the downstream DECISION (drifted at the 5%
+    critical value — a sketch inside tolerance can still flip a
+    threshold decision, so the decision is audited separately) are
+    emitted as booleans the driver hashes.
+
+    Determinism: integer cumsums over exact counts; every ECDF value
+    is one division of exact integers (identical IEEE doubles both
+    engines); D̂'s candidate gaps are a SUBSET of the exact D's (the
+    bucket-edge ECDF equals the value-grain ECDF at the last value in
+    the bucket — same integer sum, same division), so d_hat ≤ d_exact
+    holds bitwise, not just analytically; comparisons use UNROUNDED
+    doubles; displayed stats ROUND 6.
+
+    Scale: one map-combinable hash-agg to value grain (shared with
+    the exact side), one to the bounded bucket grain; the bucket-
+    grain cumulative window is ~1.1k rows regardless of corpus size.
+    At 100 TB only the bucketed side ships; the exact side is the
+    audit harness.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sample = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("grp_a"),
+    )
+    counts = sample.groupBy("v").agg(
+        F.sum("grp_a").alias("ca"),
+        (F.count("*") - F.sum("grp_a")).alias("cb"),
+    )
+    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w_v = Window.orderBy("v")
+    ecdf = counts.crossJoin(F.broadcast(totals)).select(
+        (F.sum("ca").over(w_v) * 1.0 / F.nullif(F.col("na"), F.lit(0)))
+        .alias("fa"),
+        (F.sum("cb").over(w_v) * 1.0 / F.nullif(F.col("nb"), F.lit(0)))
+        .alias("fb"),
+    )
+    dex = ecdf.agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d_exact"))
+    bcounts = counts.groupBy(
+        F.expr(f"CAST(v * 100 AS BIGINT) DIV {_KSB_WIDTH_CENTS}").alias("b")
+    ).agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+    w_b = Window.orderBy("b")
+    becdf = bcounts.crossJoin(F.broadcast(totals)).select(
+        (F.sum("ba").over(w_b) * 1.0 / F.nullif(F.col("na"), F.lit(0)))
+        .alias("fa"),
+        (F.sum("bb").over(w_b) * 1.0 / F.nullif(F.col("nb"), F.lit(0)))
+        .alias("fb"),
+        (
+            F.col("ba") * 1.0 / F.nullif(F.col("na"), F.lit(0))
+            + F.col("bb") * 1.0 / F.nullif(F.col("nb"), F.lit(0))
+        ).alias("mass"),
+    )
+    bagg = becdf.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d_hat"),
+        F.max("mass").alias("bound"),
+        F.count("*").cast("long").alias("nbk"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb"))
+        * 1.0
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0))
+    )
+    return (
+        totals.crossJoin(F.broadcast(dex))
+        .crossJoin(F.broadcast(bagg))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("nbk").alias("n_buckets"),
+            F.round("d_exact", 6).alias("ks_d_exact"),
+            F.round("d_hat", 6).alias("ks_d_bucketed"),
+            F.round("bound", 6).alias("gap_bound"),
+            (
+                (F.col("d_exact") >= F.col("d_hat"))
+                & (F.col("d_exact") <= F.col("d_hat") + F.col("bound"))
+            ).alias("within_bound"),
+            (
+                (F.col("d_exact") > crit) == (F.col("d_hat") > crit)
+            ).alias("decision_agrees"),
+        )
+    )
