@@ -85,7 +85,7 @@ def test_bench_regression_floor_ignores_subsecond_queries(tmp_path, monkeypatch)
             raw={"fast_q": 0.3, "slow_q": 2.0},
         )
     # Both now run at 3× their median norm; only the ≥0.5 s query flags.
-    regs, reseeded = bench._flag_and_update_history(
+    regs, _sup, reseeded = bench._flag_and_update_history(
         {"fast_q": 3.0, "slow_q": 3.0},
         sf,
         raw={"fast_q": 0.3, "slow_q": 6.0},
@@ -1164,7 +1164,7 @@ def test_bench_norm_floor_ignores_overhead_dominated_queries(tmp_path, monkeypat
             sf,
             raw={"overhead_q": 0.27, "real_q": 0.9},
         )
-    regs, _ = bench._flag_and_update_history(
+    regs, _sup, _ = bench._flag_and_update_history(
         # overhead_q: ratio 2.1, raw 0.57 (over absolute floor), but
         # norm 1.9 < MIN_FLAG_NORM -> not a flaggable regime.
         # real_q: ratio 2.0 at norm 6.0 -> flags.

@@ -29,14 +29,14 @@ def test_bench_history_preserves_baseline_for_shielded_regressions(
     # Regressed 2x but shielded by MIN_FLAG_NORM (2.0 < 2.5): no flag,
     # and the 2.0 observations must NOT enter the history.
     for _ in range(4):
-        regs, _ = bench._flag_and_update_history({"q": 2.0}, sf, raw={"q": 2.0})
+        regs, _sup, _ = bench._flag_and_update_history({"q": 2.0}, sf, raw={"q": 2.0})
         assert regs == []
     hist = bench._load_history()
     assert hist["norms"]["q"] == [1.0, 1.0, 1.0], (
         "shielded over-ratio observations must not re-baseline the median"
     )
     # Drifts past the floor: must flag against the PRESERVED baseline.
-    regs, _ = bench._flag_and_update_history({"q": 2.6}, sf, raw={"q": 2.6})
+    regs, _sup, _ = bench._flag_and_update_history({"q": 2.6}, sf, raw={"q": 2.6})
     assert [r["query"] for r in regs] == ["q"]
     assert regs[0]["median_norm"] == 1.0
 
@@ -215,31 +215,60 @@ def test_salted_exec_fans_out_and_merge_joins(spark, sf_dir):
 
 
 def test_plan_unchanged_flag_autoclears(tmp_path, monkeypatch):
-    """r8: an over-ratio observation whose plan-counter hash equals
-    the stored hash is adjudicated environment — no flag, and the
-    norm IS absorbed into the rolling median (unlike floor-shielded
-    observations). A changed plan at the same ratio still flags."""
+    """r8/r9: an over-ratio observation whose plan-counter hash AND
+    query-source hash equal the stored ones is adjudicated
+    environment — no flag, the norm IS absorbed into the rolling
+    median (unlike floor-shielded observations), and the observation
+    is reported once in the suppressed list. A changed plan OR a
+    changed source at the same ratio still flags. A query whose
+    source cannot be hashed (not in the registry) never auto-clears."""
     import bench
 
     monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist.json"))
     sf = 0.1
+    q = "group_agg_basic"  # real registry name: source hash exists
     plan = {"Exchange hashpartitioning": 1, "HashAggregate": 2}
     for _ in range(3):
         bench._flag_and_update_history(
-            {"q": 3.0}, sf, raw={"q": 3.0}, plans={"q": plan}
+            {q: 3.0}, sf, raw={q: 3.0}, plans={q: plan}
         )
-    regs, _ = bench._flag_and_update_history(
-        {"q": 9.0}, sf, raw={"q": 9.0}, plans={"q": plan}
+    regs, sup, _ = bench._flag_and_update_history(
+        {q: 9.0}, sf, raw={q: 9.0}, plans={q: plan}
     )
-    assert regs == [], "plan-unchanged drift must auto-clear"
+    assert regs == [], "plan+source-unchanged drift must auto-clear"
+    assert [s["query"] for s in sup] == [q], (
+        "the suppressed over-ratio must be surfaced, not cleared silently"
+    )
     hist = bench._load_history()
-    assert 9.0 in hist["norms"]["q"], "environmental drift must absorb"
+    assert 9.0 in hist["norms"][q], "environmental drift must absorb"
     # Same magnitude with a DIFFERENT plan: flags (median is now
     # [3,3,3,9] -> 3.0; 9.0 > 1.5x).
-    regs, _ = bench._flag_and_update_history(
-        {"q": 9.0}, sf, raw={"q": 9.0}, plans={"q": {"SortMergeJoin": 2}}
+    regs, sup, _ = bench._flag_and_update_history(
+        {q: 9.0}, sf, raw={q: 9.0}, plans={q: {"SortMergeJoin": 2}}
     )
-    assert [r["query"] for r in regs] == ["q"]
+    assert [r["query"] for r in regs] == [q]
+    # Unchanged plan but CHANGED source: flags (r9 — expression-level
+    # edits move no operator token).
+    bench._flag_and_update_history({q: 3.0}, sf, raw={q: 3.0}, plans={q: plan})
+    monkeypatch.setattr(bench, "_source_hash", lambda name: "deadbeef0000")
+    regs, sup, _ = bench._flag_and_update_history(
+        {q: 9.0}, sf, raw={q: 9.0}, plans={q: plan}
+    )
+    assert [r["query"] for r in regs] == [q], (
+        "source-changed over-ratio drift must flag even with an "
+        "unchanged plan hash"
+    )
+    # Synthetic name with no registry source: never auto-clears.
+    monkeypatch.undo()
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "hist2.json"))
+    for _ in range(3):
+        bench._flag_and_update_history(
+            {"nope": 3.0}, sf, raw={"nope": 3.0}, plans={"nope": plan}
+        )
+    regs, sup, _ = bench._flag_and_update_history(
+        {"nope": 9.0}, sf, raw={"nope": 9.0}, plans={"nope": plan}
+    )
+    assert [r["query"] for r in regs] == ["nope"]
 
 
 def test_plan_counters_deterministic_and_nonzero(spark, sf_dir):

@@ -213,9 +213,23 @@ SHOWCASE = [
     ("textrank_keywords", "PageRank over a DATA-derived node set: "
      "vocab-sized rank frames JOINED (not broadcast) to persisted "
      "edges; four supersteps, dst-keyed aggs, zero cartesians"),
-    ("monetary_unit_sample", "systematic PPS: one exact-decimal "
-     "cumulative walk, then a stateless floor-division straddle "
-     "filter — selection needs no second pass and no randomness"),
+    ("monetary_unit_sample", "systematic PPS with a range-partitioned "
+     "cumulative walk (r9): literal split-point buckets, per-bucket "
+     "decimal cumsums, bounded-grain exclusive offsets — bit-identical "
+     "to a global window with no single-partition sort; the straddle "
+     "filter is stateless"),
+    ("bm25_doc_ranking", "inverted-index ranking with distributed "
+     "top-k (r9): IN-list prunes the token stream before the tf "
+     "hash-agg, df/stats broadcast, orderBy().limit() compiles to "
+     "TakeOrderedAndProject and the rank window sees only k rows"),
+    ("heaps_law_exponent", "range-bucketed exact row_number for the "
+     "ingestion rank + checkpoint-grain cumulative spine (r9): each "
+     "type/doc feeds its own ceil(rk/step) bucket once — no global "
+     "window, no types x checkpoints fan-out"),
+    ("ks_bucketed_drift", "bucket-first KS with built-in audit: value "
+     "grain and $100-bucket grain share one counts agg; both ECDFs "
+     "are bounded cumulative windows; exact D, bucketed D-hat, the "
+     "analytic bound and the 5% decision agreement in one row"),
 ]
 
 
