@@ -240,8 +240,8 @@ dev AS (
 per_block AS (
   SELECT m, blk,
          MAX(z) - MIN(z) AS r,
-         SQRT((CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2))
-                              * CAST(rev AS DECIMAL(18,2))) AS VARCHAR)
+         SQRT((CAST(CAST(SUM(CAST(rev AS DECIMAL(19,2))
+                              * CAST(rev AS DECIMAL(19,2))) AS VARCHAR)
                     AS DOUBLE)
                - CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
                  * CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / m)

@@ -42,10 +42,15 @@ _ESD_STEPS = 3
 
 _DAILY_SQL = """
   SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2))
            AS rev
   FROM orders GROUP BY 1
 """
+# rev is DECIMAL(19,2), not (18,2): the ESD steps square it, and DuckDB
+# multiplies DECIMAL(18)s on the int64 path — daily revenue's unscaled
+# value passes sqrt(int64 max) already at sf0.1 (observed overflow);
+# a 19-digit operand forces the exact int128 path. Spark's side is
+# width-agnostic (same exact values), so hashes are unchanged.
 
 
 def _esd_step(rem_prev: str, k: int) -> str:
@@ -290,14 +295,14 @@ st AS (
   SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))
-                       * CAST(ROUND(y, 2) AS DECIMAL(18,2))) AS VARCHAR)
+         CAST(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                       * CAST(ROUND(y, 2) AS DECIMAL(19,2))) AS VARCHAR)
               AS DOUBLE) AS sxy,
-         CAST(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))
-                       * CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS VARCHAR)
+         CAST(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                       * CAST(ROUND(x, 2) AS DECIMAL(19,2))) AS VARCHAR)
               AS DOUBLE) AS sxx,
-         CAST(CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(18,2))
-                       * CAST(ROUND(y, 2) AS DECIMAL(18,2))) AS VARCHAR)
+         CAST(CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                       * CAST(ROUND(y, 2) AS DECIMAL(19,2))) AS VARCHAR)
               AS DOUBLE) AS syy
   FROM pairs GROUP BY k
 )
