@@ -535,7 +535,9 @@ def test_scd2_pit_resolves_versions(spark):
         if r.as_of_version == 1 or r.o_custkey % 3 != 0:
             assert math.isclose(r.acctbal_as_of, v1_bal, abs_tol=1e-9)
         else:
-            assert math.isclose(r.acctbal_as_of, round(v1_bal * 1.1, 2), abs_tol=1e-2)
+            # v2 delta is +100.0 in pure IEEE double (r9: the old
+            # round(bal*1.1, 2) hit cross-engine halfway cases at sf0.1)
+            assert math.isclose(r.acctbal_as_of, v1_bal + 100.0, abs_tol=1e-9)
 
 
 # ---------------------------------------------------------------------------

@@ -470,37 +470,74 @@ SELECT
   c_nationkey,
   c_acctbal,
   CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
-  ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
-  ROUND(cume_dist() OVER w, 6) AS bal_cume_dist,
+  CASE WHEN (count(*) OVER p) = 1 THEN 0.0
+       ELSE CAST(((rank() OVER w - 1) * 2000000 + (count(*) OVER p - 1))
+                 // (2 * (count(*) OVER p - 1)) AS DOUBLE) / 1000000
+  END AS bal_pct_rank,
+  CAST((row_number() OVER w * 2000000 + count(*) OVER p)
+       // (2 * count(*) OVER p) AS DOUBLE) / 1000000 AS bal_cume_dist,
   first_value(c_custkey) OVER w AS richest_in_nation,
   nth_value(c_custkey, 2) OVER (
     PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
   ) AS runner_up
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+       p AS (PARTITION BY c_nationkey)
 """
 
 
 @register("rank_function_surface", oracle=_RANK_FNS_ORACLE, tags=("window",))
 def rank_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ranking/distribution window functions in one
-    shuffle: dense_rank, percent_rank, cume_dist (6dp-rounded — ratio
-    arithmetic), first_value, and nth_value with an explicit
-    full-partition frame. Deterministic via the unique-key tiebreak.
+    shuffle: dense_rank, percent_rank, cume_dist (6dp-rounded),
+    first_value, and nth_value with an explicit full-partition frame.
+    Deterministic via the unique-key tiebreak.
+
+    percent_rank/cume_dist are NOT rounded as doubles: ROUND((rk-1)/
+    (n-1), 6) hits halfway cases at sf0.1 (e.g. 41/640 = .0640625)
+    where Spark rounds the shortest decimal representation HALF_UP
+    (.064063) while DuckDB rounds the true binary value (.064062) —
+    found by the r9 full-registry sf0.1 sweep. Both engines instead
+    compute round-half-up exactly in INTEGER arithmetic:
+    ((a·2·10⁶ + b) DIV (2b)) / 10⁶ — bit-identical at any SF. With the
+    unique tiebreak, rank = row_number, so cume_dist = rk/n exactly.
     """
     c = read_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), "c_custkey"
     )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return c.select(
+    wp = Window.partitionBy("c_nationkey")
+    base = c.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
         F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.rank().over(w).alias("_rk"),
+        F.count("*").over(wp).alias("_nn"),
         F.first("c_custkey").over(w).alias("richest_in_nation"),
         F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "bal_dense_rank",
+        # CAST to BIGINT first: Spark's rank() is IntegerType and
+        # rk * 2e6 overflows int32 already at sf0.1 partition sizes.
+        F.when(F.col("_nn") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "CAST(((CAST(_rk AS BIGINT) - 1) * 2000000 + (_nn - 1))"
+                " DIV (2 * (_nn - 1)) AS DOUBLE) / 1000000"
+            )
+        )
+        .alias("bal_pct_rank"),
+        F.expr(
+            "CAST((CAST(_rk AS BIGINT) * 2000000 + _nn) DIV (2 * _nn)"
+            " AS DOUBLE) / 1000000"
+        ).alias("bal_cume_dist"),
+        "richest_in_nation",
+        "runner_up",
     )

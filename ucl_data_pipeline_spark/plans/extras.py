@@ -492,7 +492,7 @@ WITH v1 AS (
   SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer
 ),
 v2 AS (
-  SELECT c_custkey, c_name, ROUND(c_acctbal * 1.1, 2) AS c_acctbal, 2 AS version
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 2 AS version
   FROM customer WHERE c_custkey % 3 = 0
 ),
 unioned AS (
@@ -522,7 +522,7 @@ def snapshot_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
             F.lit(2).alias("version"),
         )
     )
@@ -612,7 +612,7 @@ WITH v1 AS (
   SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer
 ),
 v2 AS (
-  SELECT c_custkey, c_name, ROUND(c_acctbal * 1.1, 2) AS c_acctbal, 2 AS version
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 2 AS version
   FROM customer WHERE c_custkey % 3 = 0
 ),
 unioned AS (
@@ -646,7 +646,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
         "c_custkey",
         "c_name",
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
         F.lit(2).alias("version"),
     )
     w = Window.partitionBy("c_custkey").orderBy("version")
@@ -667,7 +667,7 @@ WITH old AS (
 ),
 new AS (
   SELECT c_custkey,
-         CASE WHEN c_custkey % 3 = 0 THEN ROUND(c_acctbal * 1.1, 2)
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
               ELSE c_acctbal END AS c_acctbal
   FROM customer WHERE c_custkey % 7 <> 0
 )
@@ -699,9 +699,12 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = c.select("c_custkey", "c_acctbal")
     new = c.filter(F.col("c_custkey") % 7 != 0).select(
         "c_custkey",
-        F.when(
-            F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") * 1.1, 2)
-        )
+        # +100.0 in pure IEEE double, NOT round(bal*1.1, 2): the
+        # rounded product hits 6dp/2dp halfway cases at sf0.1 where
+        # Spark (shortest-repr HALF_UP) and DuckDB (true-binary round)
+        # disagree by one cent — found by the r9 full-registry sf0.1
+        # sweep. Addition is bit-identical across engines.
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0)
         .otherwise(F.col("c_acctbal"))
         .alias("c_acctbal"),
     )

@@ -362,7 +362,7 @@ WITH v1 AS (
   SELECT c_custkey, c_acctbal, 1 AS version FROM customer
 ),
 v2 AS (
-  SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS c_acctbal, 2 AS version
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 2 AS version
   FROM customer WHERE c_custkey % 3 = 0
 ),
 scd AS (
@@ -399,7 +399,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = c.select("c_custkey", "c_acctbal", F.lit(1).alias("version"))
     v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
         "c_custkey",
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
         F.lit(2).alias("version"),
     )
     w = Window.partitionBy("c_custkey").orderBy("version")

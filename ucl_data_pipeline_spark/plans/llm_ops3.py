@@ -502,8 +502,12 @@ WITH tok AS (
 SELECT doc_id,
   CAST(COUNT(*) AS INTEGER) AS n_chunks,
   CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boilerplate,
-  array_to_string(list(chunk ORDER BY idx) FILTER (NOT boiler), ' ')
-    AS clean_text
+  -- COALESCE: when EVERY chunk is boilerplate the filtered list() agg
+  -- is NULL in DuckDB while Spark's array_join over an empty
+  -- collect_list is '' — a doc fully made of boilerplate first occurs
+  -- at sf0.1 (r9 full-registry sf0.1 sweep finding).
+  COALESCE(array_to_string(list(chunk ORDER BY idx) FILTER (NOT boiler), ' '),
+           '') AS clean_text
 FROM fl GROUP BY doc_id
 """
 
