@@ -174,20 +174,61 @@ def _plan_counters(df) -> dict[str, int] | None:
     return {k: v for k, v in out.items() if v}
 
 
+# Helper modules whose edits must also invalidate the source hash:
+# query functions lean on registry helpers (range_bucket /
+# bucket_offsets / knuth_bucket / dsum) and the functions/ package,
+# so a cost regression introduced THERE moves neither the operator
+# tokens nor the query fn's own source (round-9 advisor finding —
+# the r9 source gate, blind one level down).
+_SHARED_HELPER_MODULES: tuple[str, ...] = (
+    "ucl_data_pipeline_spark.plans.registry",
+    "ucl_data_pipeline_spark.functions.scalar",
+    "ucl_data_pipeline_spark.functions.text",
+    "ucl_data_pipeline_spark.functions.vector",
+)
+_MODULE_DIGEST_CACHE: dict[str, str] = {}
+
+
+def _module_digest(module) -> str:
+    """md5 of a module's full source ('' when unavailable), cached —
+    the whole-module grain is deliberately coarse: a false
+    invalidation only costs one round of suppression power, while a
+    missed one silently absorbs a regression into the median."""
+    import inspect
+
+    key = getattr(module, "__name__", repr(module))
+    if key not in _MODULE_DIGEST_CACHE:
+        try:
+            src = inspect.getsource(module)
+        except (OSError, TypeError):
+            src = ""
+        _MODULE_DIGEST_CACHE[key] = hashlib.md5(src.encode()).hexdigest()
+    return _MODULE_DIGEST_CACHE[key]
+
+
 def _source_hash(name: str) -> str | None:
-    """md5 of the query function's source text. Plan-unchanged
-    auto-clearing additionally requires the SOURCE to be unchanged:
-    expression-level edits (projection math, lambda bodies) leave
-    every operator token count identical, so without this gate a real
-    code regression would be silently absorbed into the rolling
-    median (round-8 advisor finding)."""
+    """md5 over the query function's source text PLUS its defining
+    module's source PLUS the shared helper modules it may call.
+    Plan-unchanged auto-clearing additionally requires the SOURCE to
+    be unchanged: expression-level edits (projection math, lambda
+    bodies) leave every operator token count identical, so without
+    this gate a real code regression would be silently absorbed into
+    the rolling median (round-8 advisor finding). The module-level
+    digests extend the gate to edits in shared helpers and
+    module-level constants/oracle strings (round-9 advisor finding)."""
     try:
+        import importlib
         import inspect
 
-        return hashlib.md5(
-            inspect.getsource(REGISTRY[name].fn).encode()
-        ).hexdigest()[:12]
-    except (OSError, TypeError, KeyError):
+        fn = REGISTRY[name].fn
+        parts = [inspect.getsource(fn)]
+        mod = inspect.getmodule(fn)
+        if mod is not None:
+            parts.append(_module_digest(mod))
+        for mod_name in _SHARED_HELPER_MODULES:
+            parts.append(_module_digest(importlib.import_module(mod_name)))
+        return hashlib.md5("\x00".join(parts).encode()).hexdigest()[:12]
+    except (OSError, TypeError, KeyError, ImportError):
         return None
 
 

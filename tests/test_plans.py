@@ -436,42 +436,15 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
 }
 
 
-def _single_partition_windows(df) -> int:
-    """Count Window nodes whose single-child chain reaches an Exchange
-    with SinglePartition output partitioning, in the prepared physical
-    plan (executedPlan, AQE wrapper unwrapped — sparkPlan() is
-    pre-EnsureRequirements and has no Exchange nodes). Bounded top-k
-    windows over TakeOrderedAndProject need no Exchange and are
-    invisible here by construction. Mirror: tools/window_census.py."""
-
-    def _children(node):
-        cs = node.children()
-        return [cs.apply(i) for i in range(cs.length())]
-
-    top = df._jdf.queryExecution().executedPlan()
-    if top.nodeName() == "AdaptiveSparkPlan":
-        top = top.executedPlan()
-    n_hits = 0
-    stack = [top]
-    while stack:
-        node = stack.pop()
-        kids = _children(node)
-        if node.nodeName() == "Window":
-            cur = kids[0] if kids else None
-            while cur is not None:
-                name = cur.nodeName()
-                if name == "Exchange":
-                    if "SinglePartition" in cur.outputPartitioning().toString():
-                        n_hits += 1
-                    break
-                if name == "Window":
-                    break
-                ck = _children(cur)
-                if len(ck) != 1:
-                    break
-                cur = ck[0]
-        stack.extend(kids)
-    return n_hits
+# The walker is the SHARED implementation in plan_audit (also behind
+# tools/window_census.py) — one source of truth so the gate and the
+# census tool cannot drift apart, and ReusedExchange feeds (zero
+# children, re-emitting a planned SinglePartition exchange) count like
+# Exchange feeds so duplicated offending sites cannot undercount
+# (round-9 advisor finding).
+from ucl_data_pipeline_spark.plan_audit import (  # noqa: E402
+    single_partition_windows as _single_partition_windows,
+)
 
 
 def test_single_partition_windows_are_allowlisted(spark, sf_dir):

@@ -534,13 +534,31 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("j")
     ).agg(F.sum("n_inst").cast("long").alias("dt"))
     n_docs_row = ranked.agg(F.max("rk").alias("max_rk"))
-    spine = n_docs_row.select(
-        F.explode(
-            F.sequence(
-                F.lit(1).cast("long"),
-                F.expr(f"CAST(max_rk DIV {_HEAPS_STEP} AS BIGINT)"),
-            )
-        ).alias("j")
+    # The sequence end is clamped to >=1 and the spine re-filtered to
+    # j*step <= max_rk: two-arg sequence(1, 0) would default to step
+    # -1 and yield [1, 0] (phantom checkpoints with ln(0) terms) when
+    # the corpus holds fewer docs than one step, while the oracle's
+    # generate_series(step, max_rk, step) is empty — the documented
+    # sequence-start>stop trap. The filter keeps both engines at zero
+    # checkpoints on an undersized corpus (and drops nothing when
+    # max_rk >= step: j <= max_rk DIV step == j*step <= max_rk).
+    spine = (
+        n_docs_row.select(
+            "max_rk",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.greatest(
+                        F.expr(
+                            f"CAST(max_rk DIV {_HEAPS_STEP} AS BIGINT)"
+                        ),
+                        F.lit(1).cast("long"),
+                    ),
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") * _HEAPS_STEP <= F.col("max_rk"))
+        .select("j")
     )
     w_ck = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
     pts = (

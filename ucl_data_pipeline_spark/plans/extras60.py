@@ -292,6 +292,15 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus rows strictly ahead of it in the same (cos0 DESC, vec_id)
     # total order — a hash-agg over corpus × |top-k| broadcast rows,
     # exactly row_number semantics without a single-partition sort.
+    # persist(): `base` is consumed by THREE lazy branches (feedback
+    # top-k, the re-rank scan, the rows-ahead count), so without it
+    # the full corpus cosine computes three times per run — the
+    # engine's documented branch-re-execution convention (extras27's
+    # measured precedent). Materializing also makes the
+    # cos0 == t_cos0 equality in the rows-ahead filter compare STORED
+    # values instead of relying on bit-identical recomputation across
+    # branches (deterministic today, fragile if the cosine helper
+    # ever gains a non-deterministic reduction order).
     base = (
         e.filter(F.col("vec_id") != _PRF_QUERY_ID)
         .crossJoin(F.broadcast(q))
@@ -301,6 +310,7 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             VX.cosine("embedding", "qemb").alias("cos0"),
         )
+        .persist()
     )
     fb = (
         base.orderBy(F.desc("cos0"), "vec_id")

@@ -241,13 +241,27 @@ def dedup_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("j")
     ).agg(F.count("*").cast("long").alias("dv"))
     n_docs = ranked.agg(F.max("rk").alias("max_rk"))
-    spine = n_docs.select(
-        F.explode(
-            F.sequence(
-                F.lit(1).cast("long"),
-                F.expr(f"CAST(max_rk DIV {_SAT_STEP} AS BIGINT)"),
-            )
-        ).alias("j")
+    # Clamp-and-refilter spine guard (extras57.py heaps_law_exponent
+    # has the full rationale): sequence(1, 0) defaults to step -1 and
+    # yields phantom checkpoints [1, 0] when the corpus is smaller
+    # than one step, while the oracle's generate_series is empty; the
+    # j*step <= max_rk filter keeps both engines at zero checkpoints
+    # there and is a no-op otherwise.
+    spine = (
+        n_docs.select(
+            "max_rk",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.greatest(
+                        F.expr(f"CAST(max_rk DIV {_SAT_STEP} AS BIGINT)"),
+                        F.lit(1).cast("long"),
+                    ),
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") * _SAT_STEP <= F.col("max_rk"))
+        .select("j")
     )
     w_ck = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
     return (
