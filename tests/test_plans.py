@@ -391,7 +391,7 @@ def test_no_expensive_expr_inside_lambdas(spark, sf_dir):
 # bucket-first hook, or a TakeOrdered top-k). Counts are plan-tree node
 # instances (lazy branch re-execution can duplicate a bounded site).
 SINGLE_PARTITION_WINDOW_GRAINS = {
-    "abc_classification": (1, "part-class cumulative, value grain"),
+    "abc_classification": (1, "range-bucket offsets (bounded buckets)"),
     "acf_table_daily": (2, "calendar day grain"),
     "auc_quality_langid": (1, "ROC over score grain, bucket hook documented"),
     "autocorr_daily_revenue": (1, "calendar day grain"),

@@ -30,7 +30,9 @@ def test_bucketed_row_number_matches_global_window(spark, sf_dir):
             F.row_number().over(Window.orderBy("o_orderkey")).alias("rk"),
         ).collect()
     }
-    for n_buckets in (1, 4, 16):
+    # None = the round-10 auto-size path (max-resolution sketch +
+    # count in one agg, subsampled split points).
+    for n_buckets in (1, 4, 16, None):
         got = {
             r["o_orderkey"]: r["rk"]
             for r in bucketed_row_number(
@@ -38,6 +40,23 @@ def test_bucketed_row_number_matches_global_window(spark, sf_dir):
             ).collect()
         }
         assert got == want, f"n_buckets={n_buckets}"
+
+
+def test_range_bucket_autosize_matches_fixed16_below_target(spark, sf_dir):
+    # Below the 250k-row target the auto-size resolves to 16 buckets
+    # AND its subsampled split points land on exactly the i/16
+    # quantiles the fixed knob used — identical bucket assignment, so
+    # bench plans at test SFs are unchanged by the auto-size.
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    fixed = {
+        r["o_orderkey"]: r["__bkt"]
+        for r in range_bucket(o, "o_orderkey", 16).collect()
+    }
+    auto = {
+        r["o_orderkey"]: r["__bkt"]
+        for r in range_bucket(o, "o_orderkey").collect()
+    }
+    assert auto == fixed
 
 
 def test_range_bucket_is_monotone_in_key(spark, sf_dir):

@@ -702,3 +702,228 @@ def ks_bucketed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decision_agrees"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-first Mann–Whitney U twin: the 100 TB spelling, self-auditing
+# ---------------------------------------------------------------------------
+
+_MWUB_WIDTH_CENTS = 10_000  # $100-wide cells: price span / 100 ≈ 5k buckets
+
+_MWUB_ORACLE = f"""
+WITH sample AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp_a
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+cells AS (
+  SELECT v, SUM(grp_a) AS ca, COUNT(*) - SUM(grp_a) AS cb
+  FROM sample GROUP BY v
+),
+mid AS (
+  SELECT ca, ca + cb AS t,
+         SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS below
+  FROM cells
+),
+ex AS (
+  SELECT SUM(CAST(ca AS DECIMAL(28,1))
+             * CAST(COALESCE(below, 0) + (t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS ra,
+         CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(t - ca) AS BIGINT) AS nb,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_ex
+  FROM mid
+),
+bcells AS (
+  SELECT CAST(v * 100 AS BIGINT) // {_MWUB_WIDTH_CENTS} AS b,
+         SUM(ca) AS ca, SUM(cb) AS cb
+  FROM cells GROUP BY 1
+),
+bmid AS (
+  SELECT ca, cb, ca + cb AS t,
+         SUM(ca + cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS below
+  FROM bcells
+),
+bx AS (
+  SELECT SUM(CAST(ca AS DECIMAL(28,1))
+             * CAST(COALESCE(below, 0) + (t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS ra_hat,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_hat,
+         SUM(CAST(ca AS DECIMAL(28,1)) * cb) AS cross_pairs,
+         CAST(COUNT(*) AS BIGINT) AS nbk
+  FROM bmid
+)
+SELECT na AS n_a,
+       nb AS n_b,
+       nbk AS n_buckets,
+       CAST(ra - CAST(na * (na + 1) AS DECIMAL(18,1)) / 2 AS DOUBLE)
+         AS u_exact,
+       CAST(ra_hat - CAST(na * (na + 1) AS DECIMAL(18,1)) / 2 AS DOUBLE)
+         AS u_bucketed,
+       CAST(cross_pairs AS DOUBLE) / 2 AS u_bound,
+       (ABS(CAST(ra - ra_hat AS DOUBLE)) * 2
+          <= CAST(cross_pairs AS DOUBLE)) AS within_bound,
+       ROUND((CAST(ra AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / NULLIF(SQRT(na * 1.0 * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie_ex * 1.0
+                         / NULLIF((na + nb) * (na + nb - 1), 0))), 0),
+             6) AS z_exact,
+       ROUND((CAST(ra_hat AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / NULLIF(SQRT(na * 1.0 * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie_hat * 1.0
+                         / NULLIF((na + nb) * (na + nb - 1), 0))), 0),
+             6) AS z_bucketed,
+       ((ABS((CAST(ra AS DOUBLE) - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / NULLIF(SQRT(na * 1.0 * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie_ex * 1.0
+                         / NULLIF((na + nb) * (na + nb - 1), 0))), 0)) > 1.96)
+        = (ABS((CAST(ra_hat AS DOUBLE) - na * (na + 1) / 2.0
+                - na * nb / 2.0)
+             / NULLIF(SQRT(na * 1.0 * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie_hat * 1.0
+                         / NULLIF((na + nb) * (na + nb - 1), 0))), 0)) > 1.96))
+         AS decision_agrees
+FROM ex CROSS JOIN bx
+"""
+
+
+@register(
+    "mann_whitney_u_bucketed", oracle=_MWUB_ORACLE, tags=("stats", "audit")
+)
+def mann_whitney_u_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-first Mann–Whitney U twin with its own substitution audit
+    — the ``ks_bucketed_drift`` pattern (bound + decision agreement)
+    ported to the rank-sum test, executing the bucket hook that
+    ``mann_whitney_u``'s docstring promises in prose.
+
+    The exact U runs at value grain (distinct prices ≈ row grain for a
+    continuous money column — the thing being replaced at 100 TB).
+    The production spelling quantizes prices into fixed $100 cells
+    FIRST (pure integer cents DIV — bucket count bounded by the price
+    RANGE, not the corpus), computes midranks over the ~5k bucket
+    boundaries, and carries an analytic error bound derived from the
+    pair formulation U = Σ_pairs [1(a>b) + ½·1(a=b)]: quantization can
+    only move SAME-bucket cross-group pairs, each by at most ½, so
+    |U − Û| ≤ ½·Σ_b ca_b·cb_b — computable from the BUCKET side alone
+    (at 100 TB only the bucketed side ships; the exact side here is
+    the audit harness). Both the bound (within_bound) and the
+    downstream DECISION (|z| > 1.96 at the 5% level — a sketch inside
+    tolerance can still flip a threshold decision, so the decision is
+    audited separately, the engine's sampling-audit convention) are
+    emitted as booleans the driver hashes.
+
+    Determinism: midranks are exact .5-step decimals on both grains
+    (rank sums order-free in DECIMAL); U values and the bound are
+    half-integers compared UNROUNDED via exact doubles; tie terms are
+    exact BIGINTs; z's division chain is NULLIF-guarded like the
+    exact query (degenerate inputs agree as NULL) and displayed
+    ROUND 6.
+
+    Scale: one map-combinable hash-agg to value grain (shared with
+    the exact side), one to the bounded bucket grain; the bucket-
+    grain cumulative window is ~5k rows regardless of corpus size.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+
+    def _ranksum(grain: DataFrame, order_col: str):
+        # (ca, cb, order) -> one row: decimal rank-sum of group A,
+        # exact tie term, plus pass-through count sums. The midrank
+        # machinery shared by both grains — value and bucket.
+        w_cum = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        mid = grain.select(
+            "ca",
+            "cb",
+            (F.col("ca") + F.col("cb")).alias("t"),
+            F.sum(F.col("ca") + F.col("cb")).over(w_cum).alias("below"),
+        )
+        midrank = (
+            F.coalesce(F.col("below"), F.lit(0)) + (F.col("t") + 1) / 2.0
+        ).cast("decimal(18,1)")
+        return mid, midrank
+
+    mid, midrank = _ranksum(cells, "v")
+    ex = mid.agg(
+        F.sum(F.col("ca").cast("decimal(28,1)") * midrank).alias("ra"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_ex"),
+    )
+    bcells = cells.groupBy(
+        F.expr(f"CAST(v * 100 AS BIGINT) DIV {_MWUB_WIDTH_CENTS}").alias("b")
+    ).agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    bmid, bmidrank = _ranksum(bcells, "b")
+    bx = bmid.agg(
+        F.sum(F.col("ca").cast("decimal(28,1)") * bmidrank).alias("ra_hat"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_hat"),
+        F.sum(F.col("ca").cast("decimal(28,1)") * F.col("cb")).alias(
+            "cross_pairs"
+        ),
+        F.count("*").cast("long").alias("nbk"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+
+    def _z(r_col: str, tie_col: str):
+        sigma = F.sqrt(
+            na * 1.0 * nb / 12.0
+            * (
+                (na + nb + 1)
+                - F.col(tie_col)
+                * 1.0
+                / F.nullif((na + nb) * (na + nb - 1), F.lit(0))
+            )
+        )
+        return (
+            F.col(r_col).cast("double") - na * (na + 1) / 2.0 - na * nb / 2.0
+        ) / F.nullif(sigma, F.lit(0.0))
+
+    half_na = F.col("na") * (F.col("na") + 1)
+    u_of = lambda r: (  # noqa: E731
+        F.col(r) - half_na.cast("decimal(18,1)") / 2
+    ).cast("double")
+    return ex.crossJoin(F.broadcast(bx)).select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.col("nbk").alias("n_buckets"),
+        u_of("ra").alias("u_exact"),
+        u_of("ra_hat").alias("u_bucketed"),
+        (F.col("cross_pairs").cast("double") / 2).alias("u_bound"),
+        (
+            F.abs((F.col("ra") - F.col("ra_hat")).cast("double")) * 2
+            <= F.col("cross_pairs").cast("double")
+        ).alias("within_bound"),
+        F.round(_z("ra", "tie_ex"), 6).alias("z_exact"),
+        F.round(_z("ra_hat", "tie_hat"), 6).alias("z_bucketed"),
+        (
+            (F.abs(_z("ra", "tie_ex")) > 1.96)
+            == (F.abs(_z("ra_hat", "tie_hat")) > 1.96)
+        ).alias("decision_agrees"),
+    )

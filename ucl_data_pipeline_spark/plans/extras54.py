@@ -121,7 +121,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.select(
         F.col("c_custkey").alias("ck"), (-F.col("c_acctbal")).alias("neg")
     )
-    bucketed = range_bucket(cust, "neg", 16)
+    bucketed = range_bucket(cust, "neg")
     w_loc = Window.partitionBy("__bkt").orderBy("neg", "ck")
     offs = bucket_offsets(bucketed, F.lit(1), "__off")
     ranked = (

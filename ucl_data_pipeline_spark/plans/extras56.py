@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ucl_data_pipeline_spark.plans.registry import register
+from ucl_data_pipeline_spark.plans.registry import (
+    bucket_offsets,
+    range_bucket,
+    register,
+)
 from ucl_data_pipeline_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
@@ -193,31 +197,47 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``pareto_frontier_parts`` handles multi-criteria dominance).
 
     Determinism: per-part revenue and the running total stay exact
-    DECIMAL; the cumulative window rides the (rev DESC, part) total
+    DECIMAL; the cumulative walk rides the (rev DESC, part) total
     order; class cuts compare exact-range doubles (cum/tot unscaled
     < 2^53); shares are single divisions ROUND 6.
 
-    Scale: one fact pass to part grain, one part-grain global sort
-    window (parts ≪ facts; the usual range-partition refinement at
-    extreme part counts), a 3-row class agg.
+    Scale: one fact pass to part grain, then the range-partitioned
+    cumulative walk (registry.range_bucket/bucket_offsets — the
+    monetary_unit_sample spelling): bucket the NEGATED revenue (equal
+    revenues share a bucket, so bucket id is monotone in the DESC
+    order), per-bucket cumulative revenue sums with (neg, part)
+    tie-break, plus each bucket's exclusive prefix subtotal from the
+    bounded bucket grain. Decimal addition is exact and associative,
+    so the bucketed walk is bit-identical to a global window — no
+    single-partition sort ever touches the part grain (the docstring's
+    long-promised "usual range-partition refinement", now the plan).
+    Totals come from one scalar agg broadcast back, then a 3-row
+    class agg.
     """
     li = read_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
     )
-    w_cum = Window.orderBy(F.desc("rev"), "part").rowsBetween(
-        Window.unboundedPreceding, 0
+    tot = per_part.agg(
+        F.sum("rev").alias("tot"),
+        F.count("*").cast("long").alias("n_all"),
     )
-    w_all = Window.partitionBy(F.lit(1))
-    ranked = per_part.select(
-        "part",
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum"),
-        F.sum("rev").over(w_all).alias("tot"),
-        F.count("*").over(w_all).alias("n_all"),
+    bucketed = range_bucket(
+        per_part.withColumn("neg", -F.col("rev")), "neg"
+    )
+    w_loc = (
+        Window.partitionBy("__bkt")
+        .orderBy("neg", "part")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = bucket_offsets(bucketed, F.col("rev"), "__off")
+    ranked = (
+        bucketed.withColumn("lcum", F.sum("rev").over(w_loc))
+        .join(F.broadcast(offs), "__bkt")
+        .select("rev", (F.col("lcum") + F.col("__off")).alias("cum"))
     )
     share = F.col("cum").cast("double") / F.col("tot").cast("double")
-    classed = ranked.select(
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev",
         "tot",
         "n_all",

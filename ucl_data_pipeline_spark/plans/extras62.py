@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.plans.registry import (
-    bucket_offsets,
     range_bucket,
     register,
 )
@@ -100,13 +99,23 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket's exclusive prefix subtotal from the bounded bucket
     # grain. Decimal addition is exact and associative, so the
     # bucketed walk is bit-identical to the global one.
-    base = range_bucket(o.select("o_orderkey", xd.alias("x")), "o_orderkey", 16)
+    base = range_bucket(o.select("o_orderkey", xd.alias("x")), "o_orderkey")
     w_loc = (
         Window.partitionBy("__bkt")
         .orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    offs = bucket_offsets(base, F.col("x"), "__off")
+    # Offsets AND the grand total both come from the same per-bucket
+    # subtotal frame (bucket_offsets inlined): the total is the sum of
+    # the bucket subtotals — exact decimal addition, identical to a
+    # direct SUM over orders — so the walk needs one fewer full fact
+    # scan (r10: the ×100 smoke's residual cost was pure pass count).
+    subs = base.groupBy("__bkt").agg(F.sum(F.col("x")).alias("__sub"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = subs.select(
+        "__bkt",
+        F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias("__off"),
+    )
     ordered = (
         base.withColumn("lcum", F.sum("x").over(w_loc))
         .join(F.broadcast(offs), "__bkt")
@@ -118,7 +127,7 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tot = o.agg(F.sum(xd).cast("double").alias("t"))
+    tot = subs.agg(F.sum("__sub").cast("double").alias("t"))
     interval = F.col("t") / _MUS_N
     hits = F.floor(F.col("cum").cast("double") / interval) - F.floor(
         (F.col("cum") - F.col("x")).cast("double") / interval
