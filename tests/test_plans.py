@@ -398,7 +398,8 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "benjamini_hochberg_promo": (1, "p-value family grain (bounded tests)"),
     "changepoint_single_split": (1, "calendar day grain"),
     "chi_square_independence": (1, "contingency cell grain"),
-    "cliffs_delta_priority": (1, "value-grain cells, bucket hook documented"),
+    "cliffs_delta_priority": (1, "value-grain cells, bucketed twin registered"),
+    "cliffs_delta_bucketed": (2, "bucket grain + value-grain audit side"),
     "cumulative_distinct_users": (1, "calendar day grain"),
     "cusum_drift_daily": (1, "calendar day grain"),
     "decile_lift_table": (3, "range-bucket offsets + 10-row decile grain"),
@@ -409,12 +410,17 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "hurst_rs_exponent": (1, "calendar day grain (block sizes bounded)"),
     "isotonic_calibration_bins": (2, "calibration bin grain (PAVA unroll)"),
     "kaplan_meier_survival": (1, "duration grain (hours, bounded)"),
-    "kruskal_wallis_h": (1, "value-grain cells, bucket hook documented"),
+    "kruskal_wallis_h": (1, "value-grain cells, bucketed twin registered"),
+    "kruskal_wallis_h_bucketed": (
+        2,
+        "bucket grain + value-grain audit side",
+    ),
     "ks_bucketed_drift": (2, "bucket grain + value-grain audit side"),
     "ks_two_sample_drift": (1, "value grain, bucketed twin registered"),
     "largest_remainder_apportion": (1, "nation grain (25 rows)"),
     "logrank_survival_ab": (1, "duration grain (hours, bounded)"),
-    "mann_whitney_u": (1, "value-grain cells (kruskal_wallis spelling)"),
+    "mann_whitney_u": (1, "value-grain cells, bucketed twin registered"),
+    "mann_whitney_u_bucketed": (2, "bucket grain + value-grain audit side"),
     "market_concentration_hhi": (1, "supplier-share grain"),
     "monetary_unit_sample": (1, "range-bucket offsets (bounded buckets)"),
     "mutual_information_flags": (1, "flag-pair cell grain"),
@@ -433,6 +439,10 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "vocab_coverage": (1, "vocab grain"),
     "weekly_revenue_growth": (1, "calendar week grain"),
     "wilcoxon_signed_rank": (1, "value-grain cells of paired diffs"),
+    "wilcoxon_signed_rank_bucketed": (
+        2,
+        "bucket grain + pair-grain audit side",
+    ),
 }
 
 

@@ -1,0 +1,71 @@
+"""Round-10: bucket-first twins for the last four value-grain rank
+statistics (the ks_bucketed_drift pattern — quantize first, carry an
+analytic bound computed from the bucket side alone, audit the
+downstream threshold DECISION separately from the bound).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ucl_data_pipeline_spark.plans import REGISTRY
+
+
+@pytest.mark.parametrize(
+    "name,lo,hi,bound_col,bound_rel_cap",
+    [
+        # bound_rel_cap: the bound must be small relative to the
+        # statistic's own scale at test SF — a valid-but-vacuous bound
+        # (wider than the statistic) would make the twin useless.
+        ("mann_whitney_u_bucketed", "u_bucketed", "u_exact", "u_bound", 0.01),
+        (
+            "kruskal_wallis_h_bucketed",
+            "h_bucketed",
+            "h_exact",
+            "ranksum_bound_max",
+            None,  # rank-sum bound is not on H's scale; checked below
+        ),
+        (
+            "wilcoxon_signed_rank_bucketed",
+            "w_plus_bucketed",
+            "w_plus_exact",
+            "w_bound",
+            None,  # 25 pairs over a wide $ range: bound is usually 0
+        ),
+        (
+            "cliffs_delta_bucketed",
+            "delta_bucketed",
+            "delta_exact",
+            "delta_bound",
+            None,  # delta in [-1, 1]; absolute cap asserted below
+        ),
+    ],
+)
+def test_bucketed_rank_twins_audit_exact(
+    spark, sf_dir, name, lo, hi, bound_col, bound_rel_cap
+):
+    row = REGISTRY[name].fn(spark, sf_dir).collect()[0]
+    # The audit booleans the driver hashes must actually HOLD — the
+    # oracle only proves Spark == DuckDB, not that the bound is true.
+    assert row["within_bound"] is True, name
+    assert row["decision_agrees"] is True, name
+    assert row["n_buckets"] >= 1
+    assert abs(row[hi] - row[lo]) <= max(row[bound_col], 1e-12) + 1e-9, name
+    if bound_rel_cap is not None and row[hi]:
+        assert row[bound_col] <= bound_rel_cap * abs(row[hi]), name
+
+
+def test_cliffs_delta_bucketed_bound_is_tight(spark, sf_dir):
+    row = REGISTRY["cliffs_delta_bucketed"].fn(spark, sf_dir).collect()[0]
+    # $100 cells on a ~$500k price span: same-cell mass is tiny, so
+    # the delta bound must be well inside the narrowest Romano band
+    # half-width (0.147) — the twin can never flip a band by more than
+    # the bound it carries.
+    assert row["delta_bound"] < 0.01
+
+
+def test_kruskal_bucketed_h_close_to_exact(spark, sf_dir):
+    row = REGISTRY["kruskal_wallis_h_bucketed"].fn(spark, sf_dir).collect()[0]
+    # H itself (not just the rank sums) should move by well under the
+    # chi-square decision margin under $100 quantization at test SF.
+    assert abs(row["h_exact"] - row["h_bucketed"]) < 0.5

@@ -692,3 +692,232 @@ def diff_in_diff_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
         ).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-first Wilcoxon signed-rank twin: self-auditing quantization
+# ---------------------------------------------------------------------------
+
+_WXB_WIDTH = 10_000.0  # $10k-wide |d| cells: bounded by the diff RANGE
+
+_WXB_ORACLE = f"""
+WITH pairs AS (
+  SELECT n.n_name,
+         CAST(SUM(CASE WHEN l.l_shipdate < TIMESTAMP '1997-07-01'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DOUBLE)
+           - CAST(SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-07-01'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS d
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY n.n_name
+),
+cells AS (
+  SELECT ABS(d) AS v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS cp
+  FROM pairs WHERE d <> 0 GROUP BY ABS(d)
+),
+mid AS (
+  SELECT v, t, cp,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS below
+  FROM cells
+),
+ex AS (
+  SELECT SUM(CAST(cp AS DECIMAL(28,1))
+             * CAST(COALESCE(below, 0) + (t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS wp,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_ex
+  FROM mid
+),
+bcells AS (
+  SELECT CAST(FLOOR(v / {_WXB_WIDTH}) AS BIGINT) AS b,
+         SUM(t) AS t, SUM(cp) AS cp
+  FROM cells GROUP BY 1
+),
+bmid AS (
+  SELECT b, t, cp,
+         SUM(t) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS below
+  FROM bcells
+),
+bx AS (
+  SELECT SUM(CAST(cp AS DECIMAL(28,1))
+             * CAST(COALESCE(below, 0) + (t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS wp_hat,
+         CAST(SUM(cp * (t - 1)) AS BIGINT) AS bound2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_hat,
+         CAST(COUNT(*) AS BIGINT) AS nbk
+  FROM bmid
+),
+z AS (
+  SELECT n, nbk,
+         CAST(wp AS DOUBLE) AS wpd, CAST(wp_hat AS DOUBLE) AS wphd,
+         CAST(bound2 AS DOUBLE) / 2 AS bound,
+         (ABS(CAST(wp - wp_hat AS DOUBLE)) * 2 <= CAST(bound2 AS DOUBLE))
+           AS ok,
+         (CAST(wp AS DOUBLE) - n * (n + 1) / 4.0)
+           / NULLIF(SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0
+                         - tie_ex / 48.0), 0) AS z_ex,
+         (CAST(wp_hat AS DOUBLE) - n * (n + 1) / 4.0)
+           / NULLIF(SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0
+                         - tie_hat / 48.0), 0) AS z_hat
+  FROM ex CROSS JOIN bx
+)
+SELECT n AS n_pairs,
+       nbk AS n_buckets,
+       wpd AS w_plus_exact,
+       wphd AS w_plus_bucketed,
+       bound AS w_bound,
+       ok AS within_bound,
+       ROUND(z_ex, 6) AS z_exact,
+       ROUND(z_hat, 6) AS z_bucketed,
+       ((ABS(z_ex) > 1.96) = (ABS(z_hat) > 1.96)) AS decision_agrees
+FROM z
+"""
+
+
+@register(
+    "wilcoxon_signed_rank_bucketed",
+    oracle=_WXB_ORACLE,
+    tags=("stats", "audit"),
+)
+def wilcoxon_signed_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-first Wilcoxon signed-rank twin with its own
+    substitution audit — the ``ks_bucketed_drift`` pattern ported to
+    the paired rank test. The pair grain here is nations (bounded at
+    25), so unlike the MWU/KW twins the exact side is already cheap —
+    the twin exists because the |d| DOMAIN is continuous money: at a
+    finer pair grain (customer, part, document) exact |d| midranks
+    revert to corpus grain, and THIS spelling — quantize |d| into
+    fixed $10k cells (bucket count bounded by the diff RANGE), midrank
+    the bounded cell grain, carry the analytic bound — is what ships.
+
+    Bound: within a cell of t_b pooled diffs the exact midranks span
+    at most (t_b−1)/2 around the cell midrank and only positive diffs
+    contribute to W⁺, so |W⁺ − Ŵ⁺| ≤ Σ_b cp_b·(t_b−1)/2 — computable
+    from the bucket side alone. The decision (|z| > 1.96, tie-
+    corrected normal approximation) is audited separately from the
+    bound, per the engine's sampling-audit convention.
+
+    Determinism: per-pair diffs are differences of exact decimal sums
+    (bit-identical doubles both engines); FLOOR(|d|/10000) is exact
+    IEEE (floor, never a halfway fork); midranks exact .5-step
+    decimals; the bound check compares exact integers
+    (2·|ΔW| ≤ Σ cp·(t−1)); z NULLIF-guarded, ROUND 6.
+
+    Scale: the fact table feeds ONE map-combinable conditional agg to
+    pair grain (shared with the exact side); both midrank windows run
+    on bounded grains (pairs / $-range cells).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    mid_ts = F.lit("1997-07-01").cast("timestamp")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("l_shipdate") < mid_ts, rev).otherwise(zero)
+                ).cast("double")
+                - F.sum(
+                    F.when(F.col("l_shipdate") >= mid_ts, rev).otherwise(zero)
+                ).cast("double")
+            ).alias("d")
+        )
+    )
+    cells = (
+        pairs.filter(F.col("d") != 0)
+        .groupBy(F.abs("d").alias("v"))
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+        )
+    )
+
+    def _wsum(grain: DataFrame, order_col: str) -> DataFrame:
+        w_cum = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        mid = grain.select(
+            "t",
+            "cp",
+            F.sum("t").over(w_cum).alias("below"),
+        )
+        midrank = (
+            F.coalesce(F.col("below"), F.lit(0)) + (F.col("t") + 1) / 2.0
+        ).cast("decimal(18,1)")
+        return mid.agg(
+            F.sum(F.col("cp").cast("decimal(28,1)") * midrank).alias("wp"),
+            F.sum("t").cast("long").alias("n"),
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie"),
+            F.sum(F.col("cp") * (F.col("t") - 1)).cast("long").alias(
+                "bound2"
+            ),
+            F.count("*").cast("long").alias("nbk"),
+        )
+
+    ex = _wsum(cells, "v").select(
+        F.col("wp"), F.col("n"), F.col("tie").alias("tie_ex")
+    )
+    bcells = cells.groupBy(
+        F.floor(F.col("v") / _WXB_WIDTH).cast("long").alias("b")
+    ).agg(F.sum("t").alias("t"), F.sum("cp").alias("cp"))
+    bx = _wsum(bcells, "b").select(
+        F.col("wp").alias("wp_hat"),
+        F.col("tie").alias("tie_hat"),
+        F.col("bound2"),
+        F.col("nbk"),
+    )
+    nn = F.col("n")
+
+    def _z(wp_col: str, tie_col: str):
+        return (
+            F.col(wp_col).cast("double") - nn * (nn + 1) / 4.0
+        ) / F.nullif(
+            F.sqrt(
+                nn * (nn + 1.0) * (2 * nn + 1) / 24.0
+                - F.col(tie_col) / 48.0
+            ),
+            F.lit(0.0),
+        )
+
+    return ex.crossJoin(F.broadcast(bx)).select(
+        nn.cast("bigint").alias("n_pairs"),
+        F.col("nbk").alias("n_buckets"),
+        F.col("wp").cast("double").alias("w_plus_exact"),
+        F.col("wp_hat").cast("double").alias("w_plus_bucketed"),
+        (F.col("bound2").cast("double") / 2).alias("w_bound"),
+        (
+            F.abs((F.col("wp") - F.col("wp_hat")).cast("double")) * 2
+            <= F.col("bound2").cast("double")
+        ).alias("within_bound"),
+        F.round(_z("wp", "tie_ex"), 6).alias("z_exact"),
+        F.round(_z("wp_hat", "tie_hat"), 6).alias("z_bucketed"),
+        (
+            (F.abs(_z("wp", "tie_ex")) > 1.96)
+            == (F.abs(_z("wp_hat", "tie_hat")) > 1.96)
+        ).alias("decision_agrees"),
+    )

@@ -402,3 +402,265 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-first Kruskal–Wallis twin: the 100 TB spelling, self-auditing
+# ---------------------------------------------------------------------------
+
+_KWB_WIDTH_CENTS = 10_000  # $100-wide cells: price span / 100 ≈ 5k buckets
+_KWB_CHI2_CRIT = 9.487729  # chi-square 0.95 quantile at df = k-1 = 4
+
+_KWB_ORACLE = f"""
+WITH cells AS (
+  SELECT o_totalprice AS v, o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+), vals AS (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM cells GROUP BY v
+), mid AS (
+  SELECT v, t,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS below
+  FROM vals
+), rs_ex AS (
+  SELECT c.grp,
+         CAST(SUM(c.cnt) AS BIGINT) AS n_g,
+         SUM(CAST(c.cnt AS DECIMAL(28,1))
+             * CAST(COALESCE(m.below, 0) + (m.t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS r_g
+  FROM cells c JOIN mid m ON m.v = c.v
+  GROUP BY c.grp
+), tie_ex AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM vals
+), bcells AS (
+  SELECT CAST(v * 100 AS BIGINT) // {_KWB_WIDTH_CENTS} AS b, grp,
+         CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+), bvals AS (
+  SELECT b, CAST(SUM(cnt) AS BIGINT) AS t FROM bcells GROUP BY b
+), bmid AS (
+  SELECT b, t,
+         SUM(t) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS below
+  FROM bvals
+), rs_hat AS (
+  SELECT c.grp,
+         SUM(CAST(c.cnt AS DECIMAL(28,1))
+             * CAST(COALESCE(m.below, 0) + (m.t + 1) / 2.0
+                    AS DECIMAL(18,1))) AS r_g_hat,
+         CAST(SUM(c.cnt * (m.t - 1)) AS BIGINT) AS bound2
+  FROM bcells c JOIN bmid m ON m.b = c.b
+  GROUP BY c.grp
+), tie_hat AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie,
+         CAST(COUNT(*) AS BIGINT) AS nbk
+  FROM bvals
+), per AS (
+  SELECT e.grp, e.n_g, e.r_g, h.r_g_hat, h.bound2
+  FROM rs_ex e JOIN rs_hat h ON h.grp = e.grp
+), agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE) / n_g
+                  ORDER BY grp)), (a, b) -> a + b) AS rsum_ex,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(r_g_hat AS DOUBLE) * CAST(r_g_hat AS DOUBLE) / n_g
+                  ORDER BY grp)), (a, b) -> a + b) AS rsum_hat,
+         MIN(CASE WHEN ABS(CAST(r_g - r_g_hat AS DOUBLE)) * 2
+                       <= CAST(bound2 AS DOUBLE) THEN 1 ELSE 0 END)
+           AS all_ok,
+         MAX(CAST(bound2 AS DOUBLE)) / 2 AS bound_max
+  FROM per
+), h2 AS (
+  SELECT n, k, all_ok, bound_max, tie_hat.nbk,
+         (12.0 / (n * (n + 1.0)) * rsum_ex - 3.0 * (n + 1))
+           / (1.0 - CAST(tie_ex.tie AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n)) AS h_ex,
+         (12.0 / (n * (n + 1.0)) * rsum_hat - 3.0 * (n + 1))
+           / (1.0 - CAST(tie_hat.tie AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n)) AS h_hat
+  FROM agg CROSS JOIN tie_ex CROSS JOIN tie_hat
+)
+SELECT n AS n_rows,
+       k AS n_groups,
+       nbk AS n_buckets,
+       ROUND(h_ex, 6) AS h_exact,
+       ROUND(h_hat, 6) AS h_bucketed,
+       ROUND(bound_max, 6) AS ranksum_bound_max,
+       (all_ok = 1) AS within_bound,
+       ((h_ex > {_KWB_CHI2_CRIT}) = (h_hat > {_KWB_CHI2_CRIT}))
+         AS decision_agrees
+FROM h2
+"""
+
+
+@register(
+    "kruskal_wallis_h_bucketed", oracle=_KWB_ORACLE, tags=("stats", "audit")
+)
+def kruskal_wallis_h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-first Kruskal–Wallis twin with its own substitution audit
+    — the ``ks_bucketed_drift`` pattern ported to the k-group rank
+    test, executing the bucket hook ``kruskal_wallis_h``'s docstring
+    promises in prose ("at 100 TB bucket values first").
+
+    The exact H runs at value grain (distinct prices ≈ row grain for a
+    continuous money column). The production spelling quantizes prices
+    into fixed $100 cells FIRST (integer cents DIV — bucket count
+    bounded by the price RANGE, not the corpus), computes midranks
+    over the bounded bucket grain, and carries an analytic PER-GROUP
+    rank-sum bound derived from midrank geometry: within a bucket of
+    t_b pooled rows the exact midranks span at most (t_b−1)/2 around
+    the bucket midrank, so |R_g − R̂_g| ≤ Σ_b cnt_gb·(t_b−1)/2 —
+    computable from the BUCKET side alone (at 100 TB only the
+    bucketed side ships; the exact side here is the audit harness).
+    The audit emits both the bound check (within_bound, ANDed over
+    all k groups) and the downstream DECISION agreement (tie-corrected
+    H against the chi-square df=4 5% critical value 9.487729 — a
+    sketch inside rank tolerance can still flip a threshold decision,
+    so the decision is audited separately).
+
+    Determinism: midranks are exact .5-step decimals on both grains;
+    per-group rank sums are order-free DECIMAL; the k R²/n terms are
+    ~1e12 doubles summed by the order-pinned fold on BOTH sides (grp-
+    sorted list, sequential fold — the exact query's convention); tie
+    terms exact BIGINT; H ROUND 6; the bound check compares exact
+    integers (2·|ΔR| ≤ Σ cnt·(t−1)).
+
+    Scale: one map-combined pass to (value, group) cells shared with
+    the exact side, one to the bounded (bucket, group) grain; the
+    bucket-grain cumulative window is ~5k rows at any corpus size.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+    def _midrank_frame(grain: DataFrame, order_col: str):
+        vals = grain.groupBy(order_col).agg(
+            F.sum("cnt").cast("long").alias("t")
+        )
+        w_cum = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        mid = vals.select(
+            order_col, "t", F.sum("t").over(w_cum).alias("below")
+        )
+        midrank = (
+            F.coalesce(F.col("below"), F.lit(0)) + (F.col("t") + 1) / 2.0
+        ).cast("decimal(18,1)")
+        tie = vals.agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie"),
+            F.count("*").cast("long").alias("nbk"),
+        )
+        return mid, midrank, tie
+
+    mid, midrank, ties_ex = _midrank_frame(cells, "v")
+    rs_ex = (
+        cells.join(mid, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(F.col("cnt").cast("decimal(28,1)") * midrank).alias("r_g"),
+        )
+    )
+    bcells = cells.groupBy(
+        F.expr(f"CAST(v * 100 AS BIGINT) DIV {_KWB_WIDTH_CENTS}").alias("b"),
+        "grp",
+    ).agg(F.sum("cnt").cast("long").alias("cnt"))
+    bmid, bmidrank, ties_hat = _midrank_frame(bcells, "b")
+    rs_hat = (
+        bcells.join(bmid, "b")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(28,1)") * bmidrank).alias(
+                "r_g_hat"
+            ),
+            F.sum(F.col("cnt") * (F.col("t") - 1))
+            .cast("long")
+            .alias("bound2"),
+        )
+    )
+    per = rs_ex.join(rs_hat, "grp")
+
+    def _fold(r_col: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                F.col(r_col).cast("double")
+                                * F.col(r_col).cast("double")
+                                / F.col("n_g")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    agg = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        _fold("r_g").alias("rsum_ex"),
+        _fold("r_g_hat").alias("rsum_hat"),
+        F.min(
+            F.when(
+                F.abs((F.col("r_g") - F.col("r_g_hat")).cast("double")) * 2
+                <= F.col("bound2").cast("double"),
+                1,
+            ).otherwise(0)
+        ).alias("all_ok"),
+        (F.max(F.col("bound2").cast("double")) / 2).alias("bound_max"),
+    )
+    n = F.col("n")
+
+    def _h(rsum_col: str, tie_col: Column) -> Column:
+        h_raw = (
+            F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col(rsum_col)
+            - F.lit(3.0) * (n + 1)
+        )
+        return h_raw / (
+            F.lit(1.0)
+            - tie_col.cast("double")
+            / (n.cast("double") * n * n - n)
+        )
+
+    h_ex = _h("rsum_ex", F.col("tie_ex"))
+    h_hat = _h("rsum_hat", F.col("tie_hat"))
+    return (
+        agg.crossJoin(
+            F.broadcast(
+                ties_ex.select(F.col("tie").alias("tie_ex"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ties_hat.select(
+                    F.col("tie").alias("tie_hat"), F.col("nbk")
+                )
+            )
+        )
+        .select(
+            n.alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            F.col("nbk").alias("n_buckets"),
+            F.round(h_ex, 6).alias("h_exact"),
+            F.round(h_hat, 6).alias("h_bucketed"),
+            F.round("bound_max", 6).alias("ranksum_bound_max"),
+            (F.col("all_ok") == 1).alias("within_bound"),
+            (
+                (h_ex > F.lit(_KWB_CHI2_CRIT))
+                == (h_hat > F.lit(_KWB_CHI2_CRIT))
+            ).alias("decision_agrees"),
+        )
+    )

@@ -363,3 +363,192 @@ def cliffs_delta_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-first Cliff's delta twin: self-auditing quantized dominance
+# ---------------------------------------------------------------------------
+
+_CDB_WIDTH_CENTS = 10_000  # $100-wide cells: price span / 100 ≈ 5k buckets
+
+_CDB_BAND = """CASE
+         WHEN ABS({d}) < 0.147 THEN 'negligible'
+         WHEN ABS({d}) < 0.33 THEN 'small'
+         WHEN ABS({d}) < 0.474 THEN 'medium'
+         ELSE 'large' END"""
+
+_CDB_ORACLE = f"""
+WITH cells AS (
+  SELECT o_totalprice AS v,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
+              AS BIGINT) AS cb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_totalprice
+),
+cum AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS cb_below
+  FROM cells
+),
+ex AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * cb_below) AS BIGINT) AS n_gt,
+         CAST(SUM(ca * cb) AS BIGINT) AS n_eq
+  FROM cum
+),
+bcells AS (
+  SELECT CAST(v * 100 AS BIGINT) // {_CDB_WIDTH_CENTS} AS b,
+         SUM(ca) AS ca, SUM(cb) AS cb
+  FROM cells GROUP BY 1
+),
+bcum AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS cb_below
+  FROM bcells
+),
+bx AS (
+  SELECT CAST(SUM(ca * cb_below) AS BIGINT) AS n_gt_hat,
+         CAST(SUM(ca * cb) AS BIGINT) AS n_eq_hat,
+         CAST(COUNT(*) AS BIGINT) AS nbk
+  FROM bcum
+),
+d AS (
+  SELECT na, nb, nbk,
+         (CAST(n_gt AS DOUBLE) - (na * nb - n_gt - n_eq))
+           / (CAST(na AS DOUBLE) * nb) AS d_ex,
+         (CAST(n_gt_hat AS DOUBLE) - (na * nb - n_gt_hat - n_eq_hat))
+           / (CAST(na AS DOUBLE) * nb) AS d_hat,
+         CAST(n_eq_hat AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS bound
+  FROM ex CROSS JOIN bx
+)
+SELECT na AS n_urgent,
+       nb AS n_low,
+       nbk AS n_buckets,
+       ROUND(d_ex, 6) AS delta_exact,
+       ROUND(d_hat, 6) AS delta_bucketed,
+       ROUND(bound, 6) AS delta_bound,
+       (ABS(d_ex - d_hat) <= bound) AS within_bound,
+       {_CDB_BAND.format(d="d_ex")} AS magnitude_exact,
+       {_CDB_BAND.format(d="d_hat")} AS magnitude_bucketed,
+       ({_CDB_BAND.format(d="d_ex")} = {_CDB_BAND.format(d="d_hat")})
+         AS decision_agrees
+FROM d
+"""
+
+
+@register(
+    "cliffs_delta_bucketed", oracle=_CDB_ORACLE, tags=("stats", "audit")
+)
+def cliffs_delta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-first Cliff's δ twin with its own substitution audit —
+    the ``ks_bucketed_drift`` pattern ported to the dominance effect
+    size, executing the bucket hook ``cliffs_delta_priority``'s
+    allowlist entry documents in prose.
+
+    The exact δ runs at value grain. The production spelling quantizes
+    prices into fixed $100 cells FIRST (integer cents DIV — bucket
+    count bounded by the price RANGE, not the corpus) and counts
+    dominance over cell boundaries. Quantization only moves SAME-CELL
+    cross-group pairs (each flips its ±1/0 contribution to a bucket
+    tie), and the bucket side counts exactly those pairs as its own
+    tie count, so |δ − δ̂| ≤ n_eq_hat/(n_a·n_b) — the bound is
+    computable from the BUCKET side alone (at 100 TB only the
+    bucketed side ships; the exact side here is the audit harness).
+    The downstream DECISION is the Romano magnitude band (negligible /
+    small / medium / large) — band agreement is audited separately
+    from the bound, per the engine's sampling-audit convention.
+
+    Determinism: dominance counts are exact BIGINTs on both grains
+    (one cumulative window each, value grain vs bounded cell grain);
+    δ, δ̂ and the bound are single divisions of exact integers
+    (identical IEEE doubles both engines), compared UNROUNDED;
+    displayed values ROUND 6; bands are CASE over the same doubles.
+
+    Scale: one map-combined pass to value cells shared with the exact
+    side, one to the bounded cell grain; the cell-grain cumulative
+    window is ~5k rows at any corpus size. O(V) + O(cells), never the
+    O(n²) naive pair count.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cells = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+
+    def _dominance(grain: DataFrame, order_col: str) -> DataFrame:
+        w_below = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = grain.select(
+            "ca",
+            "cb",
+            F.coalesce(F.sum("cb").over(w_below), F.lit(0)).alias(
+                "cb_below"
+            ),
+        )
+        return cum.agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+            F.sum(F.col("ca") * F.col("cb_below")).cast("long").alias("n_gt"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_eq"),
+            F.count("*").cast("long").alias("nbk"),
+        )
+
+    ex = _dominance(cells, "v").select("na", "nb", "n_gt", "n_eq")
+    bcells = cells.groupBy(
+        F.expr(f"CAST(v * 100 AS BIGINT) DIV {_CDB_WIDTH_CENTS}").alias("b")
+    ).agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    bx = _dominance(bcells, "b").select(
+        F.col("n_gt").alias("n_gt_hat"),
+        F.col("n_eq").alias("n_eq_hat"),
+        F.col("nbk"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+
+    def _delta(gt_col: str, eq_col: str):
+        n_lt = na * nb - F.col(gt_col) - F.col(eq_col)
+        return (F.col(gt_col).cast("double") - n_lt) / (
+            na.cast("double") * nb
+        )
+
+    def _band(d):
+        return (
+            F.when(F.abs(d) < 0.147, "negligible")
+            .when(F.abs(d) < 0.33, "small")
+            .when(F.abs(d) < 0.474, "medium")
+            .otherwise("large")
+        )
+
+    d_ex = _delta("n_gt", "n_eq")
+    d_hat = _delta("n_gt_hat", "n_eq_hat")
+    bound = F.col("n_eq_hat").cast("double") / (na.cast("double") * nb)
+    return ex.crossJoin(F.broadcast(bx)).select(
+        na.alias("n_urgent"),
+        nb.alias("n_low"),
+        F.col("nbk").alias("n_buckets"),
+        F.round(d_ex, 6).alias("delta_exact"),
+        F.round(d_hat, 6).alias("delta_bucketed"),
+        F.round(bound, 6).alias("delta_bound"),
+        (F.abs(d_ex - d_hat) <= bound).alias("within_bound"),
+        _band(d_ex).alias("magnitude_exact"),
+        _band(d_hat).alias("magnitude_bucketed"),
+        (_band(d_ex) == _band(d_hat)).alias("decision_agrees"),
+    )

@@ -87,80 +87,97 @@ def register(
 # and locally verified -- tools/verify_local.py covers the full
 # inventory).
 #
-# Round-9 rotation (consolidation -- the round-8 verdict's task 1):
-# registry growth is FROZEN this round and ALL 50 driver slots go to
-# the witnessing backlog. The tuple below is exactly:
-#   (1) the 42 queries that have never had a driver CORRECTNESS row
-#       (the extras51-64 registrations that landed after the round-8
-#       driver check ran), including the five of them whose plans were
-#       rewritten this round (vsm_tfidf_ranking, rocchio_prf_rerank,
-#       heaps_law_exponent, dedup_saturation_curve,
-#       monetary_unit_sample -- re-witnessed while changed);
-#   (2) 8 of the 27 round-1-vintage rows, dedup/text family first
-#       (dedup_exact, dedup_exact_normalized, doc_fingerprint,
-#       minhash_signatures, dedup_minhash_lsh, bpe_token_count,
-#       text_token_stats, text_quality_score) -- the r7 digest
-#       re-keying and lambda-CSE rewrites changed their physical
-#       plans, so their r1 evidence is the stalest.
-# Round 10 takes the remaining 19 r1-vintage + 37 r2-vintage rows.
-# Everything later in the dict has a green row from rounds 3-8 and
+# Round-10 rotation (the round-9 verdict's task 1, adjusted for the
+# verdict's own tasks 2/4 which demand green rows for this round's new
+# and rewritten plans). The 50-slot prefix is exactly:
+#   (1) ks_bucketed_drift -- the single never-witnessed row from r9
+#       (registered after the r9 driver check ran);
+#   (2) the 4 bucketed rank-statistic twins registered THIS round
+#       (verdict task 2: "Done = 4 green rows") and the 4 queries
+#       whose plans were rewritten/changed this round and therefore
+#       need re-witnessing while changed: abc_classification (task 4
+#       range-bucketed walk), monetary_unit_sample (auto-sized
+#       n_buckets + tot-from-subtotals), heaps_law_exponent +
+#       dedup_saturation_curve (checkpoint-spine sequence guard);
+#       rocchio_prf_rerank's persist() is execution-only (same plan
+#       semantics, r9-green) and stays out of the prefix;
+#   (3) all 19 round-1-vintage rows (the stalest driver evidence);
+#   (4) the 22 alphabetically-first round-2-vintage rows.
+# That leaves 14 r2-vintage rows (pivot_status_counts ...
+# unpivot_metrics) for the round-11 prefix -- with the 8 changed/new
+# rows above witnessed now, round 11's backlog is exactly those 14.
+# Everything later in the dict has a green row from rounds 3-9 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
-EXPORT_FIRST: tuple[str, ...] = (
-    # (1) never driver-checked: extras51-53 (sequence mining, burstiness,
-    # sampling tables, ANOVA/rank tests, trend tests)
-    "sequential_pattern_support",
-    "event_dispersion_index",
-    "unigram_neg_sampling_table",
-    "oneway_anova_f",
-    "kruskal_wallis_h",
-    "cochran_armitage_trend",
-    "hits_hub_authority",
-    "adamic_adar_linkpred",
-    "dyad_census_trade",
-    "decile_lift_table",
-    "mcnemar_paired_gates",
-    "cliffs_delta_priority",
-    "periodogram_fixed_freqs",
-    "permutation_entropy_daily",
-    "burstiness_interevent",
-    "price_index_fisher",
+# Queries whose plans were changed/rewritten THIS round and are
+# re-witnessed while changed even though they have a recent green row.
+# tests/test_registry_rotation.py uses this to verify that every other
+# prefix slot goes to the witnessing backlog (never-witnessed or
+# oldest-vintage rows) -- the rotation can no longer silently drift
+# from its comment (the round-8 failure mode, fixed manually in r9,
+# now gated).
+REWITNESS_CHANGED: tuple[str, ...] = (
     "abc_classification",
-    "theil_index_decomposition",
-    "textrank_keywords",
-    "hurst_rs_exponent",
-    "heaps_law_exponent",
-    "centroid_distance_outliers",
-    "simplified_silhouette",
-    "markov_absorption_funnel",
-    "cuped_variance_reduction",
-    "odds_ratio_gates",
-    "hill_diversity_profile",
-    "vsm_tfidf_ranking",
-    "rocchio_prf_rerank",
-    "err_cascade_metric",
-    "sprt_sequential_test",
-    "huber_location_irls",
-    "grubbs_extreme_day",
     "monetary_unit_sample",
-    "jackknife_group_influence",
-    "capture_recapture_ndv",
-    "esd_outlier_sequence",
-    "allen_interval_census",
-    "acf_table_daily",
-    "mde_power_analysis",
+    "heaps_law_exponent",
     "dedup_saturation_curve",
-    "nelson_aalen_hazard",
-    # (2) stalest r1-vintage rows: dedup/text family (plans changed by
-    # the r7 digest re-keying and lambda-CSE rewrites)
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "bpe_token_count",
-    "text_token_stats",
-    "text_quality_score",
+)
+
+EXPORT_FIRST: tuple[str, ...] = (
+    # (1) never driver-checked
+    "ks_bucketed_drift",
+    # (2) new twins + rewritten plans (re-witness while changed)
+    "mann_whitney_u_bucketed",
+    "kruskal_wallis_h_bucketed",
+    "wilcoxon_signed_rank_bucketed",
+    "cliffs_delta_bucketed",
+    "abc_classification",
+    "monetary_unit_sample",
+    "heaps_law_exponent",
+    "dedup_saturation_curve",
+    # (3) all 19 r1-vintage rows
+    "conditional_agg",
+    "cube_status_priority",
+    "dedup_first_wins",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "embedding_topk_cosine",
+    "grouping_sets_status_priority",
+    "haversine_travel",
+    "intersect_nations",
+    "label_centroids",
+    "lang_id_heuristic",
+    "lead_and_share_of_total",
+    "moving_avg_frame",
+    "rank_customers_by_balance",
+    "rank_function_surface",
+    "rest_days_lag",
+    "sort_limit_topn",
+    "window_top2_per_key",
+    "zscore_by_group",
+    # (4) the 22 alphabetically-first r2-vintage rows
+    "approx_distinct_suppliers",
+    "as_of_join",
+    "bootstrap_priors",
+    "cohort_retention",
+    "conform_column_names_upper",
+    "correlated_exists",
+    "data_quality_profile",
+    "dedup_simhash",
+    "deterministic_sample",
+    "forward_fill",
+    "fractional_odds",
+    "funnel_analysis",
+    "global_quantile_buckets",
+    "jaccard_shingle_pairs",
+    "json_roundtrip",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "multimodal_binary_meta",
+    "nation_market_share",
+    "nation_trade_volume",
+    "ntile_quartiles",
+    "percentile_prices",
 )
 
 
