@@ -69,3 +69,34 @@ def test_kruskal_bucketed_h_close_to_exact(spark, sf_dir):
     # H itself (not just the rank sums) should move by well under the
     # chi-square decision margin under $100 quantization at test SF.
     assert abs(row["h_exact"] - row["h_bucketed"]) < 0.5
+
+
+def test_bucket_search_tree_equals_linear_count(spark):
+    # The balanced when()-tree must agree with the linear definition
+    # bucket = |{i : key > bounds[i]}| on every edge case the fold
+    # handled: duplicate split points (heavily tied keys), keys equal
+    # to a bound (strict >), keys outside the sketched range, and
+    # single/empty bounds.
+    import random
+
+    from ucl_data_pipeline_spark.plans.registry import _bucket_search
+
+    rng = random.Random(10)
+    cases = [
+        [],  # no bounds -> everything in bucket 0
+        [5],
+        [5, 5, 7],  # duplicates: equal keys must share a bucket
+        sorted(rng.randint(0, 50) for _ in range(31)),
+        sorted(rng.randint(0, 10) for _ in range(63)),  # heavy ties
+    ]
+    keys = list(range(-2, 55))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    for bounds in cases:
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", _bucket_search("k", bounds).alias("b")
+            ).collect()
+        }
+        want = {k: sum(1 for b in bounds if k > b) for k in keys}
+        assert got == want, bounds
