@@ -438,7 +438,10 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "unigram_neg_sampling_table": (1, "vocab grain"),
     "vocab_coverage": (1, "vocab grain"),
     "weekly_revenue_growth": (1, "calendar week grain"),
-    "wilcoxon_signed_rank": (1, "value-grain cells of paired diffs"),
+    "wilcoxon_signed_rank": (
+        1,
+        "value-grain cells of paired diffs, bucketed twin registered",
+    ),
     "wilcoxon_signed_rank_bucketed": (
         2,
         "bucket grain + pair-grain audit side",

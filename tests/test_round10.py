@@ -100,3 +100,46 @@ def test_bucket_search_tree_equals_linear_count(spark):
         }
         want = {k: sum(1 for b in bounds if k > b) for k in keys}
         assert got == want, bounds
+
+
+def test_checkpoint_spine_empty_on_undersized_corpus(spark, tmp_path):
+    # Round-9 advisor finding, regression-gated: with fewer docs than
+    # one checkpoint step, two-arg F.sequence(1, max_rk DIV step)
+    # would default to step -1 and yield [1, 0] — phantom checkpoints
+    # (j=0 gives ln(0) nulls) — while DuckDB's generate_series(step,
+    # max_rk, step) is empty. Both engines must now agree on ZERO
+    # checkpoints for an undersized corpus.
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta doc {i}", "en", "crawl", 30)
+            for i in range(5)  # 5 docs << step (50)
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    sf = str(tmp_path / "tiny")
+    (tmp_path / "tiny").mkdir()
+    docs.coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    # Expected zero-checkpoint shapes: saturation emits one row per
+    # checkpoint (so zero rows); heaps aggregates the spine into a
+    # single summary row (0 checkpoints, NULL fit). Both engines must
+    # produce them EXACTLY — a phantom [1, 0] spine would instead show
+    # n_checkpoints=2 / two curve rows with ln(0) artifacts.
+    expect = {
+        "heaps_law_exponent": [(0, None, None, None, None)],
+        "dedup_saturation_curve": [],
+    }
+    for name, want in expect.items():
+        got = [tuple(r) for r in REGISTRY[name].fn(spark, sf).collect()]
+        assert got == want, f"{name}: phantom checkpoints {got}"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf}/documents.parquet/*.parquet'"
+        )
+        oracle_rows = con.execute(REGISTRY[name].oracle).fetchall()
+        con.close()
+        assert oracle_rows == want, f"{name}: oracle disagrees {oracle_rows}"
