@@ -143,3 +143,36 @@ def test_checkpoint_spine_empty_on_undersized_corpus(spark, tmp_path):
         oracle_rows = con.execute(REGISTRY[name].oracle).fetchall()
         con.close()
         assert oracle_rows == want, f"{name}: oracle disagrees {oracle_rows}"
+
+
+def test_source_hash_sees_shared_helper_edits(monkeypatch):
+    # r9 advisor: the plan+source auto-clear gate must also invalidate
+    # when a SHARED helper module (registry.range_bucket, functions/*)
+    # changes, not just the query function's own source — a regression
+    # introduced one level down must not be silently absorbed.
+    import bench
+
+    q = "group_agg_basic"
+    base = bench._source_hash(q)
+    assert base is not None
+
+    # Simulate an edit to a shared helper by perturbing its cached
+    # module digest (the hash composes from these digests).
+    key = bench._SHARED_HELPER_MODULES[0]
+    bench._module_digest(__import__(key, fromlist=["_"]))  # prime cache
+    monkeypatch.setitem(bench._MODULE_DIGEST_CACHE, key, "0" * 32)
+    assert bench._source_hash(q) != base, (
+        "editing a shared helper module must change the source hash"
+    )
+
+    # And the defining module of the query fn itself.
+    monkeypatch.undo()
+    from ucl_data_pipeline_spark.plans import REGISTRY as _REG
+    import inspect
+
+    mod_key = inspect.getmodule(_REG[q].fn).__name__
+    bench._module_digest(inspect.getmodule(_REG[q].fn))
+    monkeypatch.setitem(bench._MODULE_DIGEST_CACHE, mod_key, "f" * 32)
+    assert bench._source_hash(q) != base, (
+        "editing the query's defining module must change the source hash"
+    )
