@@ -180,13 +180,56 @@ def _plan_counters(df) -> dict[str, int] | None:
 # so a cost regression introduced THERE moves neither the operator
 # tokens nor the query fn's own source (round-9 advisor finding —
 # the r9 source gate, blind one level down).
+#
+# plans.registry is deliberately NOT digested at module grain: it also
+# hosts EXPORT_FIRST / REWITNESS_CHANGED, which the witnessing rotation
+# edits EVERY round — a whole-module digest would invalidate all 393
+# source hashes each round and permanently disable the auto-clear gate
+# it exists to serve. Its cost-bearing HELPER FUNCTIONS are digested
+# individually instead (below).
 _SHARED_HELPER_MODULES: tuple[str, ...] = (
-    "ucl_data_pipeline_spark.plans.registry",
     "ucl_data_pipeline_spark.functions.scalar",
     "ucl_data_pipeline_spark.functions.text",
     "ucl_data_pipeline_spark.functions.vector",
 )
+# Registry callables whose source feeds every query's hash (rotation
+# tuples and the register/export plumbing are excluded on purpose —
+# they cannot change a query's cost).
+_REGISTRY_HELPER_FNS: tuple[str, ...] = (
+    "dsum",
+    "davg",
+    "r6",
+    "sql_dsum",
+    "sql_davg",
+    "sql_knuth_bucket",
+    "range_bucket",
+    "_bucket_search",
+    "bucket_offsets",
+    "bucketed_row_number",
+)
 _MODULE_DIGEST_CACHE: dict[str, str] = {}
+
+
+def _registry_helpers_digest() -> str:
+    """md5 over the source of the registry's cost-bearing helper
+    functions only (cached under a synthetic module-cache key so the
+    round-10 gate tests can perturb it like any module digest)."""
+    import inspect
+
+    key = "ucl_data_pipeline_spark.plans.registry#helpers"
+    if key not in _MODULE_DIGEST_CACHE:
+        from ucl_data_pipeline_spark.plans import registry as _reg
+
+        srcs = []
+        for fn_name in _REGISTRY_HELPER_FNS:
+            try:
+                srcs.append(inspect.getsource(getattr(_reg, fn_name)))
+            except (OSError, TypeError, AttributeError):
+                srcs.append(f"<missing:{fn_name}>")
+        _MODULE_DIGEST_CACHE[key] = hashlib.md5(
+            "\x00".join(srcs).encode()
+        ).hexdigest()
+    return _MODULE_DIGEST_CACHE[key]
 
 
 def _module_digest(module) -> str:
@@ -227,6 +270,7 @@ def _source_hash(name: str) -> str | None:
             parts.append(_module_digest(mod))
         for mod_name in _SHARED_HELPER_MODULES:
             parts.append(_module_digest(importlib.import_module(mod_name)))
+        parts.append(_registry_helpers_digest())
         return hashlib.md5("\x00".join(parts).encode()).hexdigest()[:12]
     except (OSError, TypeError, KeyError, ImportError):
         return None

@@ -67,10 +67,14 @@ def test_export_first_is_valid_and_spends_slots_on_backlog():
         return
     witnessed = {n: r for n, r in latest.items() if n in REGISTRY}
     never = [n for n in REGISTRY if n not in witnessed]
-    backlog = len(never) + sum(1 for n in EXPORT_FIRST if n in witnessed)
-    if backlog >= _DRIVER_PREFIX:
+    # Every registered query is witnessable (never-witnessed or
+    # re-witnessable), so while the registry holds >= 50 queries there
+    # is always a full prefix worth of slots to spend — the count must
+    # not be derived from EXPORT_FIRST itself (a truncated prefix would
+    # then shrink its own requirement and pass vacuously).
+    if len(REGISTRY) >= _DRIVER_PREFIX:
         assert len(EXPORT_FIRST) >= _DRIVER_PREFIX, (
-            "driver slots unfilled while backlog remains"
+            "driver slots unfilled while witnessable queries remain"
         )
 
     missing_never = [n for n in never if n not in EXPORT_FIRST[:_DRIVER_PREFIX]]

@@ -147,7 +147,7 @@ def test_checkpoint_spine_empty_on_undersized_corpus(spark, tmp_path):
 
 def test_source_hash_sees_shared_helper_edits(monkeypatch):
     # r9 advisor: the plan+source auto-clear gate must also invalidate
-    # when a SHARED helper module (registry.range_bucket, functions/*)
+    # when a SHARED helper (registry.range_bucket, functions/*)
     # changes, not just the query function's own source — a regression
     # introduced one level down must not be silently absorbed.
     import bench
@@ -156,13 +156,26 @@ def test_source_hash_sees_shared_helper_edits(monkeypatch):
     base = bench._source_hash(q)
     assert base is not None
 
-    # Simulate an edit to a shared helper by perturbing its cached
-    # module digest (the hash composes from these digests).
+    # Simulate an edit to a shared helper module by perturbing its
+    # cached digest (the hash composes from these digests).
     key = bench._SHARED_HELPER_MODULES[0]
     bench._module_digest(__import__(key, fromlist=["_"]))  # prime cache
     monkeypatch.setitem(bench._MODULE_DIGEST_CACHE, key, "0" * 32)
     assert bench._source_hash(q) != base, (
         "editing a shared helper module must change the source hash"
+    )
+
+    # Registry HELPER FUNCTION edits must invalidate too (digested at
+    # function grain under a synthetic cache key).
+    monkeypatch.undo()
+    bench._registry_helpers_digest()  # prime cache
+    monkeypatch.setitem(
+        bench._MODULE_DIGEST_CACHE,
+        "ucl_data_pipeline_spark.plans.registry#helpers",
+        "1" * 32,
+    )
+    assert bench._source_hash(q) != base, (
+        "editing a registry helper function must change the source hash"
     )
 
     # And the defining module of the query fn itself.
@@ -176,3 +189,33 @@ def test_source_hash_sees_shared_helper_edits(monkeypatch):
     assert bench._source_hash(q) != base, (
         "editing the query's defining module must change the source hash"
     )
+
+
+def test_source_hash_immune_to_witness_rotation():
+    # The per-round EXPORT_FIRST / REWITNESS_CHANGED rotation edits
+    # plans/registry.py EVERY round; if the hash digested that module
+    # whole, every rotation would invalidate all ~393 stored source
+    # hashes and the plan+source auto-clear gate would never fire
+    # across rounds. The registry contributes only its cost-bearing
+    # helper functions' source.
+    import bench
+
+    assert (
+        "ucl_data_pipeline_spark.plans.registry"
+        not in bench._SHARED_HELPER_MODULES
+    ), "whole-module registry digest re-breaks cross-round suppression"
+    # Every declared helper must actually resolve (a typo would
+    # silently hash '<missing:...>' forever).
+    from ucl_data_pipeline_spark.plans import registry as _reg
+
+    missing = [
+        n for n in bench._REGISTRY_HELPER_FNS if not hasattr(_reg, n)
+    ]
+    assert not missing, f"_REGISTRY_HELPER_FNS names not in registry: {missing}"
+    # Helpers that the rotation never touches: the digest must be
+    # stable across repeated computation (cache or no cache).
+    d1 = bench._registry_helpers_digest()
+    bench._MODULE_DIGEST_CACHE.pop(
+        "ucl_data_pipeline_spark.plans.registry#helpers", None
+    )
+    assert bench._registry_helpers_digest() == d1

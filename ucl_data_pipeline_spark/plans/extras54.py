@@ -424,7 +424,13 @@ d AS (
            / (CAST(na AS DOUBLE) * nb) AS d_ex,
          (CAST(n_gt_hat AS DOUBLE) - (na * nb - n_gt_hat - n_eq_hat))
            / (CAST(na AS DOUBLE) * nb) AS d_hat,
-         CAST(n_eq_hat AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS bound
+         CAST(n_eq_hat AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS bound,
+         -- exact-integer audit: |δ−δ̂|·na·nb = |2Δn_gt + Δn_eq|,
+         -- compared against n_eq_hat BEFORE any division (the other
+         -- three twins' convention — no post-division ulp can flip
+         -- the driver-hashed boolean on a tight bound)
+         (ABS(2 * (n_gt - n_gt_hat) + (n_eq - n_eq_hat))
+            <= n_eq_hat) AS wb
   FROM ex CROSS JOIN bx
 )
 SELECT na AS n_urgent,
@@ -433,7 +439,7 @@ SELECT na AS n_urgent,
        ROUND(d_ex, 6) AS delta_exact,
        ROUND(d_hat, 6) AS delta_bucketed,
        ROUND(bound, 6) AS delta_bound,
-       (ABS(d_ex - d_hat) <= bound) AS within_bound,
+       wb AS within_bound,
        {_CDB_BAND.format(d="d_ex")} AS magnitude_exact,
        {_CDB_BAND.format(d="d_hat")} AS magnitude_bucketed,
        ({_CDB_BAND.format(d="d_ex")} = {_CDB_BAND.format(d="d_hat")})
@@ -467,8 +473,11 @@ def cliffs_delta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: dominance counts are exact BIGINTs on both grains
     (one cumulative window each, value grain vs bounded cell grain);
     δ, δ̂ and the bound are single divisions of exact integers
-    (identical IEEE doubles both engines), compared UNROUNDED;
-    displayed values ROUND 6; bands are CASE over the same doubles.
+    (identical IEEE doubles both engines), displayed ROUND 6; bands
+    are CASE over the same doubles. The within_bound audit compares
+    the EXACT INTEGERS (|2Δn_gt + Δn_eq| ≤ n_eq_hat) before any
+    division — a bound met with equality cannot flip by one ulp of
+    the divided doubles (the other three twins' convention).
 
     Scale: one map-combined pass to value cells shared with the exact
     side, one to the bounded cell grain; the cell-grain cumulative
@@ -513,6 +522,17 @@ def cliffs_delta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ex = _dominance(cells, "v").select("na", "nb", "n_gt", "n_eq")
+    # Exact-integer substitution audit (matches the oracle's `wb`):
+    # |δ−δ̂|·na·nb == |2·(n_gt−n_gt_hat) + (n_eq−n_eq_hat)| — compare
+    # BIGINTs before any division, so a bound met with equality can
+    # never read false by one ulp of the divided doubles.
+    wb = (
+        F.abs(
+            2 * (F.col("n_gt") - F.col("n_gt_hat"))
+            + (F.col("n_eq") - F.col("n_eq_hat"))
+        )
+        <= F.col("n_eq_hat")
+    )
     bcells = cells.groupBy(
         F.expr(f"CAST(v * 100 AS BIGINT) DIV {_CDB_WIDTH_CENTS}").alias("b")
     ).agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
@@ -547,7 +567,7 @@ def cliffs_delta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_ex, 6).alias("delta_exact"),
         F.round(d_hat, 6).alias("delta_bucketed"),
         F.round(bound, 6).alias("delta_bound"),
-        (F.abs(d_ex - d_hat) <= bound).alias("within_bound"),
+        wb.alias("within_bound"),
         _band(d_ex).alias("magnitude_exact"),
         _band(d_hat).alias("magnitude_bucketed"),
         (_band(d_ex) == _band(d_hat)).alias("decision_agrees"),
