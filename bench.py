@@ -205,6 +205,7 @@ _REGISTRY_HELPER_FNS: tuple[str, ...] = (
     "range_bucket",
     "_bucket_search",
     "bucket_offsets",
+    "bucketed_running_sum",
     "bucketed_row_number",
 )
 _MODULE_DIGEST_CACHE: dict[str, str] = {}

@@ -32,8 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.plans.registry import (
-    bucket_offsets,
-    range_bucket,
+    bucketed_running_sum,
     register,
 )
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -96,7 +95,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the response set is a semi-join-shaped DISTINCT on the
     fact table (map-combinable); the decile cut is the range-bucketed
-    exact global rank (registry.range_bucket/bucket_offsets —
+    exact global rank (registry.bucketed_running_sum —
     per-bucket sorts + bounded offsets, never a single-partition sort
     of the customer table) folded through the SQL-standard NTILE
     formula; all lift math runs on 10 rows.
@@ -111,24 +110,22 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact NTILE(10) over (acctbal DESC, custkey) WITHOUT a global
-    # sort window: range-bucket the NEGATED score (registry.
-    # range_bucket — equal scores share a bucket, so bucket id is
-    # monotone in the DESC order), row_number within each bucket,
-    # add bounded bucket offsets for the exact global rank, then the
-    # SQL-standard NTILE formula (first N%10 tiles get ⌈N/10⌉ rows)
-    # in pure integer arithmetic — identical tile assignment to both
-    # engines' NTILE over the same total order.
+    # sort window: range-bucket the NEGATED score (equal scores share
+    # a bucket, so bucket id is monotone in the DESC order), running
+    # count within each bucket plus bounded bucket offsets for the
+    # exact global rank, then the SQL-standard NTILE formula (first
+    # N%10 tiles get ⌈N/10⌉ rows) in pure integer arithmetic —
+    # identical tile assignment to both engines' NTILE over the same
+    # total order.
     cust = c.select(
         F.col("c_custkey").alias("ck"), (-F.col("c_acctbal")).alias("neg")
     )
-    bucketed = range_bucket(cust, "neg")
-    w_loc = Window.partitionBy("__bkt").orderBy("neg", "ck")
-    offs = bucket_offsets(bucketed, F.lit(1), "__off")
-    ranked = (
-        bucketed.withColumn("lrk", F.row_number().over(w_loc))
-        .join(F.broadcast(offs), "__bkt")
-        .select("ck", (F.col("lrk") + F.col("__off")).cast("long").alias("rk"))
+    # A running COUNT over the (neg, ck) total order IS the global
+    # row_number (registry.bucketed_running_sum with val=1).
+    walked, _subs = bucketed_running_sum(
+        cust, "neg", ["neg", "ck"], F.lit(1), out="__rk"
     )
+    ranked = walked.select("ck", F.col("__rk").cast("long").alias("rk"))
     ntot = cust.agg(F.count("*").cast("long").alias("n"))
     dec = (
         ranked.crossJoin(F.broadcast(ntot))

@@ -28,12 +28,11 @@ outputs; atomic columns; BIGINT/DOUBLE oracle casts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.plans.registry import (
-    bucket_offsets,
-    range_bucket,
+    bucketed_running_sum,
     register,
 )
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -202,8 +201,8 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2^53); shares are single divisions ROUND 6.
 
     Scale: one fact pass to part grain, then the range-partitioned
-    cumulative walk (registry.range_bucket/bucket_offsets — the
-    monetary_unit_sample spelling): bucket the NEGATED revenue (equal
+    cumulative walk (registry.bucketed_running_sum — the shared
+    spelling): bucket the NEGATED revenue (equal
     revenues share a bucket, so bucket id is monotone in the DESC
     order), per-bucket cumulative revenue sums with (neg, part)
     tie-break, plus each bucket's exclusive prefix subtotal from the
@@ -222,20 +221,14 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("tot"),
         F.count("*").cast("long").alias("n_all"),
     )
-    bucketed = range_bucket(
-        per_part.withColumn("neg", -F.col("rev")), "neg"
+    walked, _subs = bucketed_running_sum(
+        per_part.withColumn("neg", -F.col("rev")),
+        "neg",
+        ["neg", "part"],
+        F.col("rev"),
+        out="cum",
     )
-    w_loc = (
-        Window.partitionBy("__bkt")
-        .orderBy("neg", "part")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    offs = bucket_offsets(bucketed, F.col("rev"), "__off")
-    ranked = (
-        bucketed.withColumn("lcum", F.sum("rev").over(w_loc))
-        .join(F.broadcast(offs), "__bkt")
-        .select("rev", (F.col("lcum") + F.col("__off")).alias("cum"))
-    )
+    ranked = walked.select("rev", "cum")
     share = F.col("cum").cast("double") / F.col("tot").cast("double")
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev",

@@ -28,11 +28,11 @@ sums; the width-safe Knuth hash for sample membership
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.plans.registry import (
-    range_bucket,
+    bucketed_running_sum,
     register,
 )
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -84,7 +84,7 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled ratio) — no randomness anywhere, rerunnable bit-identical.
 
     Scale: the cumulative walk is range-partitioned
-    (registry.range_bucket/bucket_offsets): per-bucket cumulative
+    (registry.bucketed_running_sum): per-bucket cumulative
     sums with exclusive bucket-subtotal offsets computed on the
     bounded bucket grain — exact decimal addition makes the bucketed
     walk bit-identical to a global window, with no single-partition
@@ -93,40 +93,25 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     xd = F.col("o_totalprice").cast("decimal(18,2)")
     # Global cumulative walk WITHOUT a single-partition window
-    # (implementing what this docstring always promised): range-bucket
-    # the walk key (registry.range_bucket), per-bucket cumulative sums
-    # (each task scans only its o_orderkey range), then add each
-    # bucket's exclusive prefix subtotal from the bounded bucket
-    # grain. Decimal addition is exact and associative, so the
-    # bucketed walk is bit-identical to the global one.
-    base = range_bucket(o.select("o_orderkey", xd.alias("x")), "o_orderkey")
-    w_loc = (
-        Window.partitionBy("__bkt")
-        .orderBy("o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # (registry.bucketed_running_sum): per-bucket cumulative sums —
+    # each task scans only its o_orderkey range — plus each bucket's
+    # exclusive prefix subtotal from the bounded bucket grain.
+    # Decimal addition is exact and associative, so the bucketed walk
+    # is bit-identical to the global one.
     # Offsets AND the grand total both come from the same per-bucket
-    # subtotal frame (bucket_offsets inlined): the total is the sum of
-    # the bucket subtotals — exact decimal addition, identical to a
-    # direct SUM over orders — so the walk needs one fewer full fact
-    # scan (r10: the ×100 smoke's residual cost was pure pass count).
-    subs = base.groupBy("__bkt").agg(F.sum(F.col("x")).alias("__sub"))
-    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = subs.select(
-        "__bkt",
-        F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias("__off"),
+    # subtotal frame (bucketed_running_sum's second return): the total
+    # is the sum of the bucket subtotals — exact decimal addition,
+    # identical to a direct SUM over orders — so the walk needs one
+    # fewer full fact scan (r10: the ×100 smoke's residual cost was
+    # pure pass count).
+    walked, subs = bucketed_running_sum(
+        o.select("o_orderkey", xd.alias("x")),
+        "o_orderkey",
+        ["o_orderkey"],
+        F.col("x"),
+        out="cum",
     )
-    ordered = (
-        base.withColumn("lcum", F.sum("x").over(w_loc))
-        .join(F.broadcast(offs), "__bkt")
-        .select(
-            "o_orderkey",
-            "x",
-            (F.col("lcum") + F.coalesce(F.col("__off"), F.lit(0))).alias(
-                "cum"
-            ),
-        )
-    )
+    ordered = walked.select("o_orderkey", "x", "cum")
     tot = subs.agg(F.sum("__sub").cast("double").alias("t"))
     interval = F.col("t") / _MUS_N
     hits = F.floor(F.col("cum").cast("double") / interval) - F.floor(

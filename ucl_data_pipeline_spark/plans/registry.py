@@ -386,6 +386,58 @@ def bucket_offsets(bucketed: DataFrame, val: Column, out: str = "__off") -> Data
     )
 
 
+def bucketed_running_sum(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    val: Column,
+    out: str = "cum",
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact global ``SUM(val) OVER (ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW)`` without a single-partition
+    sort — the shared spelling of the range-bucketed cumulative walk
+    (previously inlined separately by abc_classification,
+    monetary_unit_sample and decile_lift_table).
+
+    ``order_cols[0]`` must be ``key`` (the range-bucket key), so the
+    bucket id is monotone in the global order; later order_cols are
+    tie-breaks WITHIN a bucket (equal keys always share a bucket —
+    _bucket_search's strict-``>`` rule — so tie-breaks never cross
+    bucket boundaries). When ``val`` is additive-exact (DECIMAL sums,
+    integer counts) the walk is bit-identical to the global window.
+    A running COUNT (``val=F.lit(1)``) is a global row_number over
+    the same total order.
+
+    Returns ``(frame, subtotals)``: ``frame`` is df's columns plus
+    ``out``; ``subtotals`` is the per-bucket ``(__bkt, __sub)`` frame
+    the offsets were derived from, so callers needing the grand total
+    can aggregate it (exact addition ≡ a direct SUM over df) without
+    a second full scan — the monetary_unit_sample convention.
+    """
+    bucketed = range_bucket(df, key, n_buckets)
+    w_loc = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    subs = bucketed.groupBy("__bkt").agg(F.sum(val).alias("__sub"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = subs.select(
+        "__bkt",
+        F.coalesce(F.sum("__sub").over(w_off), F.lit(0)).alias("__off"),
+    )
+    frame = (
+        bucketed.withColumn("__lcum", F.sum(val).over(w_loc))
+        .join(F.broadcast(offs), "__bkt")
+        .withColumn(out, F.col("__lcum") + F.col("__off"))
+        .drop("__bkt", "__lcum", "__off")
+    )
+    return frame, subs
+
+
 def bucketed_row_number(
     df: DataFrame, key: str, out: str = "rk", n_buckets: int | None = None
 ) -> DataFrame:
