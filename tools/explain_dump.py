@@ -230,6 +230,24 @@ SHOWCASE = [
      "grain and $100-bucket grain share one counts agg; both ECDFs "
      "are bounded cumulative windows; exact D, bucketed D-hat, the "
      "analytic bound and the 5% decision agreement in one row"),
+    ("mann_whitney_u_bucketed", "bucket-first MWU twin (r10): exact and "
+     "$100-cell rank sums share one value-grain counts agg; the bound "
+     "(same-cell cross pairs / 2) comes from the bucket side alone; "
+     "|z|>1.96 decision audited separately from the bound"),
+    ("cliffs_delta_bucketed", "bucket-first Cliff's delta twin (r10): "
+     "dominance counts as exact BIGINTs on value and cell grain; "
+     "within_bound compares the exact integers (|2dn_gt + dn_eq| <= "
+     "n_eq_hat) before any division; Romano band agreement audited"),
+    ("abc_classification", "range-bucketed cumulative walk (r10, "
+     "registry.bucketed_running_sum): per-bucket DECIMAL running sums "
+     "+ broadcast exclusive bucket-subtotal offsets — bit-identical "
+     "to the global window, no single-partition sort on the part "
+     "grain"),
+    ("monetary_unit_sample", "auto-sized range buckets (r10): "
+     "n_buckets = max(16, ceil(rows/250k)) from the same sketch agg, "
+     "balanced when()-tree bucket search (log2 n comparisons/row), "
+     "grand total derived from the bucket-subtotal frame — one fewer "
+     "full scan"),
 ]
 
 
