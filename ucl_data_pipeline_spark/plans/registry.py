@@ -87,26 +87,20 @@ def register(
 # and locally verified -- tools/verify_local.py covers the full
 # inventory).
 #
-# Round-10 rotation (the round-9 verdict's task 1, adjusted for the
-# verdict's own tasks 2/4 which demand green rows for this round's new
-# and rewritten plans). The 50-slot prefix is exactly:
-#   (1) ks_bucketed_drift -- the single never-witnessed row from r9
-#       (registered after the r9 driver check ran);
-#   (2) the 4 bucketed rank-statistic twins registered THIS round
-#       (verdict task 2: "Done = 4 green rows") and the 4 queries
-#       whose plans were rewritten/changed this round and therefore
-#       need re-witnessing while changed: abc_classification (task 4
-#       range-bucketed walk), monetary_unit_sample (auto-sized
-#       n_buckets + tot-from-subtotals), heaps_law_exponent +
-#       dedup_saturation_curve (checkpoint-spine sequence guard);
-#       rocchio_prf_rerank's persist() is execution-only (same plan
-#       semantics, r9-green) and stays out of the prefix;
-#   (3) all 19 round-1-vintage rows (the stalest driver evidence);
-#   (4) the 22 alphabetically-first round-2-vintage rows.
-# That leaves 14 r2-vintage rows (pivot_status_counts ...
-# unpivot_metrics) for the round-11 prefix -- with the 8 changed/new
-# rows above witnessed now, round 11's backlog is exactly those 14.
-# Everything later in the dict has a green row from rounds 3-9 and
+# Round-11 rotation (the round-10 verdict's task 1). After r10 the
+# never-witnessed count is 0 and the vintage distribution is r2: 15,
+# r3: 37, r4-r10: 341 (computed from CORRECTNESS_r01-r10; the r2 set
+# includes kmeans_clusters, whose rows-only driver row IS its
+# witnessed state). The 50-slot prefix is exactly the oldest backlog:
+#   (1) all 15 r2-vintage rows (the judge re-verified the 14
+#       oracle-backed ones at sf0.01 this session -- expect green);
+#   (2) the 35 alphabetically-first r3-vintage rows.
+# That leaves 2 r3-vintage rows (vocab_coverage, window_frame_surface)
+# plus the r4+ tail for the round-12 prefix. No plan-semantics changes
+# this round (the range_bucket beyond-cap fallback is gated to be
+# bit-identical at every tested scale and the baseline re-tags touch
+# pricing only), so REWITNESS_CHANGED is empty.
+# Everything later in the dict has a green row from rounds 4-10 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
 # Queries whose plans were changed/rewritten THIS round and are
@@ -116,68 +110,61 @@ def register(
 # oldest-vintage rows) -- the rotation can no longer silently drift
 # from its comment (the round-8 failure mode, fixed manually in r9,
 # now gated).
-REWITNESS_CHANGED: tuple[str, ...] = (
-    "abc_classification",
-    "monetary_unit_sample",
-    "heaps_law_exponent",
-    "dedup_saturation_curve",
-)
+REWITNESS_CHANGED: tuple[str, ...] = ()
 
 EXPORT_FIRST: tuple[str, ...] = (
-    # (1) never driver-checked
-    "ks_bucketed_drift",
-    # (2) new twins + rewritten plans (re-witness while changed)
-    "mann_whitney_u_bucketed",
-    "kruskal_wallis_h_bucketed",
-    "wilcoxon_signed_rank_bucketed",
-    "cliffs_delta_bucketed",
-    "abc_classification",
-    "monetary_unit_sample",
-    "heaps_law_exponent",
-    "dedup_saturation_curve",
-    # (3) all 19 r1-vintage rows
-    "conditional_agg",
-    "cube_status_priority",
-    "dedup_first_wins",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "embedding_topk_cosine",
-    "grouping_sets_status_priority",
-    "haversine_travel",
-    "intersect_nations",
-    "label_centroids",
-    "lang_id_heuristic",
-    "lead_and_share_of_total",
-    "moving_avg_frame",
-    "rank_customers_by_balance",
-    "rank_function_surface",
-    "rest_days_lag",
-    "sort_limit_topn",
-    "window_top2_per_key",
-    "zscore_by_group",
-    # (4) the 22 alphabetically-first r2-vintage rows
-    "approx_distinct_suppliers",
-    "as_of_join",
-    "bootstrap_priors",
-    "cohort_retention",
-    "conform_column_names_upper",
-    "correlated_exists",
-    "data_quality_profile",
-    "dedup_simhash",
-    "deterministic_sample",
-    "forward_fill",
-    "fractional_odds",
-    "funnel_analysis",
-    "global_quantile_buckets",
-    "jaccard_shingle_pairs",
-    "json_roundtrip",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "multimodal_binary_meta",
-    "nation_market_share",
-    "nation_trade_volume",
-    "ntile_quartiles",
-    "percentile_prices",
+    # (1) all 15 r2-vintage rows
+    "kmeans_clusters",
+    "pivot_status_counts",
+    "range_join_bands",
+    "returned_items_top20",
+    "rolling_anomaly_score",
+    "salted_skew_join",
+    "scalar_subquery_filter",
+    "shipping_priority_top10",
+    "simhash_signatures",
+    "snapshot_upsert_latest",
+    "stats_moments",
+    "stratified_sample",
+    "suppliers_who_kept_waiting",
+    "tfidf_top_terms",
+    "unpivot_metrics",
+    # (2) the 35 alphabetically-first r3-vintage rows
+    "approx_percentile_bounded",
+    "array_functions",
+    "bfs_reach_hops",
+    "bigram_lm_stats",
+    "boilerplate_chunk_removal",
+    "collect_sorted_list",
+    "contamination_ngram_overlap",
+    "disjunctive_predicate_revenue",
+    "doc_chunk_windows",
+    "dormant_rich_customers",
+    "embedding_pq_topk",
+    "embedding_sq8_topk",
+    "enrich_pipeline",
+    "excess_share_suppliers",
+    "histogram_fixed_bins",
+    "important_part_value",
+    "kmeans_assign",
+    "min_cost_supplier",
+    "mixture_resample",
+    "order_count_distribution",
+    "order_priority_check",
+    "pack_sequences_greedy",
+    "pii_redaction",
+    "product_profit_by_nation",
+    "promo_revenue_share",
+    "quality_filter_pipeline",
+    "repetition_score",
+    "scd2_history",
+    "shingle_containment_pairs",
+    "small_quantity_revenue",
+    "snapshot_diff_cdc",
+    "string_functions",
+    "supplier_count_by_part",
+    "text_clean",
+    "url_normalize",
 )
 
 
