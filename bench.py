@@ -208,13 +208,25 @@ _REGISTRY_HELPER_FNS: tuple[str, ...] = (
     "bucketed_running_sum",
     "bucketed_row_number",
 )
+# Module-level constants those helpers READ (round-10 advisor): the
+# function-grain digest sees only the helpers' source text, so editing
+# DEC changes dsum/davg result precision and editing the bucket knobs
+# changes every bucketed query's cost without moving any digested
+# source line. Their repr()s are digested alongside the sources.
+_REGISTRY_HELPER_CONSTS: tuple[str, ...] = (
+    "DEC",
+    "_BUCKET_TARGET_ROWS",
+    "_BUCKET_MIN",
+    "_BUCKET_MAX",
+)
 _MODULE_DIGEST_CACHE: dict[str, str] = {}
 
 
 def _registry_helpers_digest() -> str:
     """md5 over the source of the registry's cost-bearing helper
-    functions only (cached under a synthetic module-cache key so the
-    round-10 gate tests can perturb it like any module digest)."""
+    functions plus the repr of the module constants they read (cached
+    under a synthetic module-cache key so the round-10 gate tests can
+    perturb it like any module digest)."""
     import inspect
 
     key = "ucl_data_pipeline_spark.plans.registry#helpers"
@@ -227,6 +239,8 @@ def _registry_helpers_digest() -> str:
                 srcs.append(inspect.getsource(getattr(_reg, fn_name)))
             except (OSError, TypeError, AttributeError):
                 srcs.append(f"<missing:{fn_name}>")
+        for const in _REGISTRY_HELPER_CONSTS:
+            srcs.append(f"{const}={getattr(_reg, const, '<missing>')!r}")
         _MODULE_DIGEST_CACHE[key] = hashlib.md5(
             "\x00".join(srcs).encode()
         ).hexdigest()

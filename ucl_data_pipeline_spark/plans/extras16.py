@@ -356,7 +356,9 @@ FROM stats, ties
 """
 
 
-@register("mann_whitney_u", oracle=_MWU_ORACLE, tags=("stats", "window"))
+@register(
+    "mann_whitney_u", oracle=_MWU_ORACLE, tags=("stats", "window", "baseline")
+)
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U rank-sum test — do URGENT orders carry different
     totals than LOW-priority ones? — the nonparametric complement to
@@ -486,7 +488,11 @@ GROUP BY totals.na, totals.nb
 """
 
 
-@register("ks_two_sample_drift", oracle=_KS_ORACLE, tags=("stats", "window"))
+@register(
+    "ks_two_sample_drift",
+    oracle=_KS_ORACLE,
+    tags=("stats", "window", "baseline"),
+)
 def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic — the max vertical gap
     between the price ECDFs of early (pre-1998H2) vs late shipments —

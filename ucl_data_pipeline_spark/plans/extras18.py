@@ -295,7 +295,9 @@ FROM stats, ties
 
 
 @register(
-    "wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE, tags=("stats", "window")
+    "wilcoxon_signed_rank",
+    oracle=_WILCOXON_ORACLE,
+    tags=("stats", "window", "baseline"),
 )
 def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank test on PAIRED observations — did per-

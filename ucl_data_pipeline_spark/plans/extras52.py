@@ -212,7 +212,9 @@ FROM h CROSS JOIN ties
 """
 
 
-@register("kruskal_wallis_h", oracle=_KW_ORACLE, tags=("stats", "window"))
+@register(
+    "kruskal_wallis_h", oracle=_KW_ORACLE, tags=("stats", "window", "baseline")
+)
 def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal–Wallis H across the five order priorities on order
     totals — the rank-based k-group test (``mann_whitney_u``'s

@@ -295,7 +295,11 @@ FROM st
 """
 
 
-@register("cliffs_delta_priority", oracle=_CLIFFS_ORACLE, tags=("stats", "window"))
+@register(
+    "cliffs_delta_priority",
+    oracle=_CLIFFS_ORACLE,
+    tags=("stats", "window", "baseline"),
+)
 def cliffs_delta_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cliff's δ between URGENT and LOW order totals — the
     nonparametric effect size for ``mann_whitney_u``'s two samples:

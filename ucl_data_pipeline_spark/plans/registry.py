@@ -261,12 +261,49 @@ def sql_knuth_bucket(expr: str, m: int) -> str:
 # small inputs at the historical 16 (bit-identical plans at bench
 # SFs), and the cap bounds the collected split-point literals and the
 # per-row assignment fold. Beyond the cap (~268M rows at the default
-# target) the literal-fold spelling stops being the right tool and a
-# repartitionByRange + per-partition rank takes over — at that scale
-# the sort key census itself is cluster work.
+# target) the literal-fold spelling stops being the right tool and
+# _range_bucket_shuffled (repartitionByRange + spark_partition_id,
+# below) takes over — at that scale the sort key census itself is
+# cluster work. The fallback is EXECUTABLE and gated
+# (tests/test_round11.py forces the cap on a small frame and asserts
+# bit-identical running sums / row numbers against the literal path).
 _BUCKET_TARGET_ROWS = 250_000
 _BUCKET_MIN = 16
 _BUCKET_MAX = 1024
+
+
+def _range_bucket_shuffled(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Beyond-cap ``__bkt`` assignment: ``repartitionByRange(n, key)``
+    + ``spark_partition_id()`` instead of collected split-point
+    literals (round-10 verdict task 5 — the docstring promise made
+    executable).
+
+    Same bit-identical-results argument as the literal fold: the
+    RangePartitioner's boundaries are ascending and assignment is a
+    deterministic binary search on ``key`` alone, so ``__bkt`` is
+    monotone non-decreasing in ``key`` and equal keys always share a
+    bucket — ranks/offsets downstream are computed from actual bucket
+    CONTENTS, so boundary placement (and therefore bucket count)
+    affects balance only, never results. No collected literals: the
+    driver never sees the boundaries, so the ≤1024-literal cap no
+    longer binds.
+
+    The one hazard the literal path doesn't have: RangePartitioning
+    SAMPLES its input, and a lazily-recomputed exchange in a second
+    plan branch could sample differently, splitting equal keys across
+    branch-inconsistent buckets (the spark_partition_id() trick the
+    module comment warns about). The eager ``localCheckpoint()`` pins
+    the assignment: every consumer reads the SAME materialized
+    bucketing. At beyond-cap scale the checkpoint is one
+    memory-and-disk materialization of a frame that the bucketed walk
+    reads at least twice (local window + subtotal agg) — the same
+    spine discipline heaps_law_exponent / dedup_saturation_curve use.
+    """
+    return (
+        df.repartitionByRange(n_buckets, F.col(key))
+        .withColumn("__bkt", F.spark_partition_id())
+        .localCheckpoint()
+    )
 
 
 def range_bucket(
@@ -279,7 +316,11 @@ def range_bucket(
     order, pass a negated copy of the column.
 
     ``n_buckets=None`` (the default) auto-sizes to
-    max(16, ceil(rows / 250k)) capped at 1024 — the round-9 verdict's
+    max(16, ceil(rows / 250k)); past 1024 required buckets the
+    literal-fold spelling hands off to ``_range_bucket_shuffled``
+    (repartitionByRange, no collected literals, same results —
+    gated bit-identical by tests/test_round11.py). Below the cap the
+    sizing is — per the round-9 verdict's
     fixed-knob debt: a constant 16 means 16 tasks each sorting
     rows/16, which at a ×100 scale-up is a 1M-row single-task sort
     per bucket (measured ×100 ratio 9.04 on monetary_unit_sample).
@@ -317,10 +358,13 @@ def range_bucket(
             F.count(F.lit(1)).alias("__n"),
         ).collect()[0]
         all_bounds = row["__bounds"] or []
-        n_buckets = max(
-            _BUCKET_MIN,
-            min(_BUCKET_MAX, -(-(row["__n"]) // _BUCKET_TARGET_ROWS)),
-        )
+        need = -(-(row["__n"]) // _BUCKET_TARGET_ROWS)
+        if need > _BUCKET_MAX:
+            # Beyond the literal cap: hand off to the shuffled
+            # assignment (no collected literals, same results — see
+            # _range_bucket_shuffled).
+            return _range_bucket_shuffled(df, key, need)
+        n_buckets = max(_BUCKET_MIN, min(_BUCKET_MAX, need))
         bounds = [
             all_bounds[round(j * _BUCKET_MAX / n_buckets) - 1]
             for j in range(1, n_buckets)
