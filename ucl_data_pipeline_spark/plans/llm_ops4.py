@@ -320,11 +320,26 @@ def _spark_pq_dists(m: str) -> str:
     )
 
 
+# The per-subspace distance array is let-bound (functions/text.py
+# _let, spelled in SQL text: transform(array(e), d -> body)[0]) so the
+# K x SUB fold runs ONCE per (row, m) instead of twice — Catalyst has
+# no common-subexpression elimination inside higher-order-function
+# lambdas, and array_position(dists, array_min(dists)) mentions the
+# fold twice. Values, argmin, and first-index tie-break are
+# bit-identical to the unbound spelling (same fold, same IEEE order).
+# Measured on a 100k-row replicated embeddings frame: 7.1-7.4 s ->
+# 3.7-4.5 s (~1.9x) — the per-row win that dominates at scale. The
+# sf0.1 COLD number barely moves (2.43 -> 2.29 best-of-3) because at
+# 2k rows the query is driver-overhead-bound: codegen + the
+# 1024-literal codebook parse + 5 distinct job compilations (~1.5-2 s
+# of the cold total), which is also why its calibration-normalized
+# bench drifts with single-core host speed while scan-bound queries
+# don't (round-11 pq_topk drift adjudication, SCALE_NOTES).
 _PQ_DEQ_SPARK = (
     f"flatten(transform(sequence(0, {_PQ_M - 1}), m -> "
+    f"transform(array({_spark_pq_dists('m')}), d -> "
     f"element_at(element_at(cbm, m+1), "
-    f"cast(array_position({_spark_pq_dists('m')}, "
-    f"array_min({_spark_pq_dists('m')})) as int))))"
+    f"cast(array_position(d, array_min(d)) as int)))[0]))"
 )
 
 
