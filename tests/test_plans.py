@@ -383,6 +383,59 @@ def test_no_expensive_expr_inside_lambdas(spark, sf_dir):
     )
 
 
+def test_no_duplicated_fold_inside_lambdas(spark, sf_dir):
+    # The round-11 embedding_pq_topk defect class: the SAME expensive
+    # fold subtree appearing twice inside one lambda body — e.g.
+    # array_position(dists, array_min(dists)) where dists is an
+    # aggregate() fold — is re-evaluated twice per element because
+    # Catalyst performs no CSE inside higher-order-function lambdas
+    # (top-level projections DO get subexpression elimination; an A/B
+    # measured the top-level argmin spelling at parity while the
+    # intra-lambda duplicate cost ~1.9x, SCALE_NOTES round-11). The
+    # fix is the same _let pattern: bind the fold once as a lambda
+    # variable. This gate paren-extracts every aggregate()/reduce()
+    # subtree inside every lambda body of every registered query's
+    # optimized plan and flags any subtree appearing more than once
+    # within one body (>= 40 chars — skips degenerate tiny folds).
+    import re
+
+    def _bodies(plan: str):
+        for m in re.finditer(r"lambdafunction\(", plan):
+            i, depth = m.end(), 1
+            while i < len(plan) and depth:
+                depth += plan[i] == "("
+                depth -= plan[i] == ")"
+                i += 1
+            yield plan[m.end() : i - 1]
+
+    def _spans(body: str, token: str):
+        for m in re.finditer(re.escape(token), body):
+            i, depth = m.end(), 1
+            while i < len(body) and depth:
+                depth += body[i] == "("
+                depth -= body[i] == ")"
+                i += 1
+            yield body[m.start() : i]
+
+    offenders = []
+    for name in REGISTRY:
+        plan = _optimized(spark, sf_dir, name)
+        for b in _bodies(plan):
+            seen: dict[str, int] = {}
+            for tok in ("aggregate(", "reduce("):
+                for s in _spans(b, tok):
+                    if len(s) >= 40:
+                        seen[s] = seen.get(s, 0) + 1
+            if any(c > 1 for c in seen.values()):
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"duplicated fold subtree inside a lambda (re-evaluated per "
+        f"element, no CSE) in: {offenders} — bind the fold once with "
+        "the functions/text.py _let pattern"
+    )
+
+
 # Queries allowed to contain single-partition Window nodes, with the
 # BOUNDED grain that justifies each (re-censused for round 9; the
 # verdict's 100x-scale lens: an unpartitioned ranking/cumulative window
