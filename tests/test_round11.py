@@ -140,3 +140,46 @@ def test_range_bucket_beyond_cap_fallback_matches_literal_path(
     )
     assert run_sum() == base_sum, "beyond-cap running sum diverged"
     assert run_rownum() == base_rk, "beyond-cap row_number diverged"
+
+
+def test_decile_cuts_one_buffer_matches_percentile_disc(spark):
+    """The one-buffer decile-cut helper must reproduce Spark's own
+    percentile_disc on adversarial row counts — n not divisible by 10
+    exercises the integer rank arithmetic ((k*n+9) div 10), and tiny n
+    exercises the rank floor at 1."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.extras19 import (
+        _decile_cuts_one_buffer,
+    )
+
+    for n in (1, 2, 3, 7, 10, 37, 150):
+        # Deterministic, unsorted, with duplicates.
+        vals = [float((i * 7919) % 97) for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = sorted(
+            r["thr"] for r in _decile_cuts_one_buffer(df, "v").collect()
+        )
+        want = sorted(
+            df.agg(
+                *[
+                    F.expr(
+                        f"percentile_disc({k / 10}) WITHIN GROUP (ORDER BY v)"
+                    ).alias(f"t{k}")
+                    for k in range(1, 10)
+                ]
+            )
+            .select(
+                F.explode(
+                    F.array(*[F.col(f"t{k}") for k in range(1, 10)])
+                ).alias("thr")
+            )
+            .collect(),
+            key=lambda r: r["thr"],
+        )
+        assert got == [r["thr"] for r in want], f"n={n}: {got}"
+    # Empty input: percentile_disc yields NULLs; the helper yields an
+    # EMPTY cut table (the nulls are filtered) — downstream crossJoin
+    # produces no rows either way.
+    empty = spark.createDataFrame([], "v double")
+    assert _decile_cuts_one_buffer(empty, "v").collect() == []
