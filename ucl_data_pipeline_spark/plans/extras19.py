@@ -165,52 +165,33 @@ FROM scored
 
 def _decile_cuts_one_buffer(labeled: DataFrame, col: str) -> DataFrame:
     """The nine decile order statistics of ``col`` as a 1-column
-    ``thr`` frame, from ONE sorted buffer instead of nine scalar
-    percentile_disc aggregates (each of which buffers and sorts the
-    full column independently — measured 8× at sf0.1).
-
-    Exact percentile_disc semantics: the q = k/10 discrete percentile
-    is the smallest v with cume_dist(v) ≥ q — rank ceil(k·n/10) of the
-    sorted multiset (the ANSI definition Spark's percentile_disc
-    implements and DuckDB's quantile_disc matches on these inputs).
-    The rank is computed in INTEGER arithmetic as (k·n + 9) div 10: a
-    double ceil(0.1·n) is off-by-one whenever 0.1·n rounds up past the
-    true rational (0.1·150000 = 15000.000000000002 → ceil 15001).
+    ``thr`` frame, from ONE percentile buffer instead of nine scalar
+    percentile_disc aggregates — each scalar agg buffers and sorts the
+    full column independently (the engine's documented
+    percentile-buffer trap, registry.range_bucket docstring). The
+    ARRAY form of percentile_disc shares one buffer across all nine
+    fractions — the quality_filter_pipeline idiom (extras18) — with
+    native discrete-percentile semantics; measured 2.44 s → 0.59 s at
+    sf0.1 for identical outputs (and ~2× faster than a hand-rolled
+    array_sort∘collect_list + rank-pick spelling).
     tests/test_round11.py pins the equivalence against the nine-agg
-    spelling on adversarial row counts (1, 2, 3, 7, and 10-multiples).
+    spelling on adversarial row counts (1, 2, 3, 7, and 10-multiples)
+    and the empty input (NULL cuts are filtered → empty cut table,
+    matching the old spelling's empty crossJoin).
 
-    Scale note: one task holds the sorted column buffer — the same
-    single-buffer class as EACH percentile_disc agg, 9× less of it.
-    The query docstring documents the 100 TB path (value-grain
-    histogram + cumulative cells).
+    Scale note: one task holds one sorted column buffer — the same
+    single-buffer class as EACH scalar agg, 9× less of it. The query
+    docstring documents the 100 TB path (value-grain histogram +
+    cumulative cells).
     """
+    fr = ",".join(f"{k / 10}D" for k in range(1, 10))
     return (
         labeled.agg(
-            F.array_sort(F.collect_list(col)).alias("__s"),
-            F.count(col).alias("__n"),
+            F.expr(
+                f"percentile_disc(array({fr})) WITHIN GROUP (ORDER BY {col})"
+            ).alias("__cuts")
         )
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        # n=0 guard: element_at rejects index 0 even
-                        # off-ANSI; percentile_disc returns NULL on an
-                        # empty input, so match that (the filter below
-                        # then drops it, leaving an empty cut table).
-                        F.when(
-                            F.col("__n") > 0,
-                            F.element_at(
-                                "__s",
-                                F.expr(
-                                    f"cast(({k} * __n + 9) div 10 as int)"
-                                ),
-                            ),
-                        )
-                        for k in range(1, 10)
-                    ]
-                )
-            ).alias("thr")
-        )
+        .select(F.explode("__cuts").alias("thr"))
         .filter(F.col("thr").isNotNull())
     )
 
