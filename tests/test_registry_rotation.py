@@ -26,6 +26,16 @@ prefix has just been consumed, rotation pending), invariant 4 is
 evaluated against the strictly-older artifacts — the state the
 rotation was made from. test_gate_survives_driver_artifact_landing
 replays that exact failure mode synthetically.
+
+Round-11 judge finding (the fix's own design flaw, one level up): the
+exclusion stripped only ONE trailing artifact, so once the REAL
+current-prefix artifact landed, the replay test's synthetic next-round
+artifact stacked on top of it, only the synthetic one was excluded,
+and the wasted-slots assertion fired on the real one. The exclusion is
+now iterative (strip ALL trailing artifacts whose key set equals the
+current prefix), and the replay test exercises both depths: one
+synthetic artifact (fresh-rotation tree) and two stacked (landed real
+artifact + synthetic replay — the exact judged-r11 shape).
 """
 
 from __future__ import annotations
@@ -86,11 +96,18 @@ def _check_rotation(
     assert not unknown, f"EXPORT_FIRST names not in REGISTRY: {unknown}"
     assert set(rewitness) <= set(REGISTRY)
 
-    # Rotation-pending exclusion (see module docstring): the newest
-    # artifact covering exactly the current prefix means this prefix
+    # Rotation-pending exclusion (see module docstring): trailing
+    # artifacts covering exactly the current prefix mean this prefix
     # has just been consumed and rotation for the next round is
     # pending — judge backlog-targeting by the pre-consumption state.
-    if artifacts and set(artifacts[-1][1]) == set(
+    # Round-11 judge finding: this must strip ALL such trailing
+    # artifacts, not just one — when the REAL current-prefix artifact
+    # has landed AND the replay test stacks a synthetic next-round
+    # artifact on top, the two share the prefix key set; stripping
+    # only the newest left the real one in place and every prefix
+    # slot was flagged as wasted (767 passed / 1 FAILED on the judged
+    # r11 tree).
+    while artifacts and set(artifacts[-1][1]) == set(
         export_first[:_DRIVER_PREFIX]
     ):
         artifacts = artifacts[:-1]
@@ -140,6 +157,13 @@ def test_export_first_is_valid_and_spends_slots_on_backlog():
     _check_rotation(_artifacts(), EXPORT_FIRST, REWITNESS_CHANGED)
 
 
+def _synthetic_prefix_artifact() -> dict:
+    return {
+        name: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for name in EXPORT_FIRST[:_DRIVER_PREFIX]
+    }
+
+
 def test_gate_survives_driver_artifact_landing():
     """Replay the round-10 failure mode: synthesize the NEXT round's
     driver artifact (all 50 current-prefix rows green at a fresh
@@ -150,10 +174,26 @@ def test_gate_survives_driver_artifact_landing():
     if not artifacts:
         return
     next_round = artifacts[-1][0] + 1
-    synthetic = {
-        name: {"rows_match": True, "schema_match": True, "hash_match": True}
-        for name in EXPORT_FIRST[:_DRIVER_PREFIX]
-    }
     _check_rotation(
-        artifacts + [(next_round, synthetic)], EXPORT_FIRST, REWITNESS_CHANGED
+        artifacts + [(next_round, _synthetic_prefix_artifact())],
+        EXPORT_FIRST,
+        REWITNESS_CHANGED,
     )
+
+
+def test_gate_survives_stacked_prefix_artifacts():
+    """Replay the round-11 failure mode exactly: the REAL
+    current-prefix artifact has landed (simulated by the first
+    synthetic) AND a replay/synthetic next-round artifact stacks on
+    top — two trailing artifacts share the prefix key set. The
+    iterative exclusion must strip both; the single-strip `if` form
+    flagged all 50 slots as wasted on the judged r11 tree."""
+    artifacts = _artifacts()
+    if not artifacts:
+        return
+    next_round = artifacts[-1][0] + 1
+    stacked = [
+        (next_round, _synthetic_prefix_artifact()),
+        (next_round + 1, _synthetic_prefix_artifact()),
+    ]
+    _check_rotation(artifacts + stacked, EXPORT_FIRST, REWITNESS_CHANGED)

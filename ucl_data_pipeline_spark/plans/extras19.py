@@ -217,12 +217,13 @@ def gini_impurity_feature_split(
     and each threshold reads cumulative cells — same math, no 9×
     fan-out.
 
-    The nine cuts come from ONE sorted buffer (array_sort ∘
-    collect_list + rank picks, ``_decile_cuts_one_buffer``), not nine
+    The nine cuts come from ONE shared percentile buffer (the ARRAY
+    form of percentile_disc, ``_decile_cuts_one_buffer``), not nine
     scalar percentile_disc aggregates — each of those buffers and
     sorts the FULL column independently (the engine's documented
     percentile-buffer trap, registry.range_bucket docstring);
-    measured 2.44 s vs 0.31 s at sf0.1 for identical outputs.
+    measured 2.44 s → 0.59 s for the cut stage at sf0.1 for identical
+    outputs (query 5.35 s → 1.10 s).
     """
     o = read_table(spark, sf_dir, "orders")
     labeled = o.select(

@@ -87,24 +87,21 @@ def register(
 # and locally verified -- tools/verify_local.py covers the full
 # inventory).
 #
-# Round-11 rotation (the round-10 verdict's task 1). After r10 the
-# never-witnessed count is 0 and the vintage distribution is r2: 15,
-# r3: 37, r4-r10: 341 (computed from CORRECTNESS_r01-r10; the r2 set
-# includes kmeans_clusters, whose rows-only driver row IS its
-# witnessed state). The 50-slot prefix is exactly the oldest backlog:
-#   (1) all 15 r2-vintage rows (the judge re-verified the 14
-#       oracle-backed ones at sf0.01 this session -- expect green);
-#   (2) the 35 alphabetically-first r3-vintage rows.
-# Two queries' plans changed this round and are re-witnessed while
-# changed: embedding_pq_topk (the PQ distance-fold let-bind) already
-# sits in the prefix as r3-vintage backlog, and
-# gini_impurity_feature_split (nine percentile_disc aggs -> one
-# sorted-buffer cut table) takes the 50th slot, displacing
-# url_normalize (r3) to round 12. That leaves 3 r3-vintage rows
-# (url_normalize, vocab_coverage, window_frame_surface) plus the r4+
-# tail for the round-12 prefix. The range_bucket beyond-cap fallback
-# and the baseline re-tags change no tested plan.
-# Everything later in the dict has a green row from rounds 4-10 and
+# Round-12 rotation (the round-11 verdict's task 2). After r11 the
+# never-witnessed count is 0 and the vintage distribution is r3: 3,
+# r4: 49, r5-r11: 341 (computed from CORRECTNESS_r01-r11; the r11
+# prefix consumed all 15 r2-vintage rows and 35 r3 rows). The 50-slot
+# prefix is exactly the oldest backlog:
+#   (1) all 3 remaining r3-vintage rows (url_normalize --
+#       displaced last round by the changed-plan gini --
+#       vocab_coverage, window_frame_surface; the round-11 judge
+#       re-verified all three exact at sf0.01);
+#   (2) the 47 alphabetically-first r4-vintage rows, leaving
+#       user_event_sequences and view_click_interval_join (r4) plus
+#       the r5+ tail for round 13.
+# No query plan changes this round (bench tracker, rotation-gate test,
+# and docstring fixes only), so REWITNESS_CHANGED is empty.
+# Everything later in the dict has a green row from rounds 4-11 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
 # Queries whose plans were changed/rewritten THIS round and are
@@ -114,65 +111,61 @@ def register(
 # oldest-vintage rows) -- the rotation can no longer silently drift
 # from its comment (the round-8 failure mode, fixed manually in r9,
 # now gated).
-REWITNESS_CHANGED: tuple[str, ...] = (
-    "embedding_pq_topk",
-    "gini_impurity_feature_split",
-)
+REWITNESS_CHANGED: tuple[str, ...] = ()
 
 EXPORT_FIRST: tuple[str, ...] = (
-    # (1) all 15 r2-vintage rows
-    "kmeans_clusters",
-    "pivot_status_counts",
-    "range_join_bands",
-    "returned_items_top20",
-    "rolling_anomaly_score",
-    "salted_skew_join",
-    "scalar_subquery_filter",
-    "shipping_priority_top10",
-    "simhash_signatures",
-    "snapshot_upsert_latest",
-    "stats_moments",
-    "stratified_sample",
-    "suppliers_who_kept_waiting",
-    "tfidf_top_terms",
-    "unpivot_metrics",
-    # (2) the 34 alphabetically-first r3-vintage rows, then the
-    # changed-plan gini_impurity_feature_split in the 50th slot
-    "approx_percentile_bounded",
-    "array_functions",
-    "bfs_reach_hops",
-    "bigram_lm_stats",
-    "boilerplate_chunk_removal",
-    "collect_sorted_list",
-    "contamination_ngram_overlap",
-    "disjunctive_predicate_revenue",
-    "doc_chunk_windows",
-    "dormant_rich_customers",
-    "embedding_pq_topk",
-    "embedding_sq8_topk",
-    "enrich_pipeline",
-    "excess_share_suppliers",
-    "histogram_fixed_bins",
-    "important_part_value",
-    "kmeans_assign",
-    "min_cost_supplier",
-    "mixture_resample",
-    "order_count_distribution",
-    "order_priority_check",
-    "pack_sequences_greedy",
-    "pii_redaction",
-    "product_profit_by_nation",
-    "promo_revenue_share",
-    "quality_filter_pipeline",
-    "repetition_score",
-    "scd2_history",
-    "shingle_containment_pairs",
-    "small_quantity_revenue",
-    "snapshot_diff_cdc",
-    "string_functions",
-    "supplier_count_by_part",
-    "text_clean",
-    "gini_impurity_feature_split",
+    # (1) the 3 remaining r3-vintage rows
+    "url_normalize",
+    "vocab_coverage",
+    "window_frame_surface",
+    # (2) the 47 alphabetically-first r4-vintage rows
+    "ann_recall_at_3",
+    "as_of_join_nearest",
+    "checksum_table",
+    "coalesce_candidates",
+    "conform_defaults",
+    "decontaminate_docs",
+    "dedup_cross_snapshot",
+    "dedup_events_first",
+    "dedup_fuzzy_edit_distance",
+    "dict_lookup_join",
+    "domain_mixture_weights",
+    "enrich_broadcast_join",
+    "event_transition_matrix",
+    "ewma_bounded",
+    "filter_project",
+    "gap_fill_daily",
+    "grouping_id_surface",
+    "hypertable_rollup",
+    "incremental_agg_merge",
+    "inverted_index_postings",
+    "json_props_extract",
+    "k_anonymity_check",
+    "kmeans_lloyd2",
+    "linear_interpolate",
+    "map_functions",
+    "map_ho_functions",
+    "mode_per_group",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "outer_join_hybrid",
+    "pareto_frontier_parts",
+    "percentile_cont_surface",
+    "percentile_disc_surface",
+    "pricing_summary",
+    "regr_ols_surface",
+    "robust_zscore_outliers",
+    "semi_join_big_spenders",
+    "session_window_agg",
+    "sessionize_gaps_islands",
+    "shard_assignment_rendezvous",
+    "sliding_window_agg",
+    "time_weighted_avg",
+    "token_pmi_pairs",
+    "train_val_test_split",
+    "triangle_count_trade",
+    "tumbling_window_agg",
+    "unigram_entropy",
 )
 
 
@@ -370,7 +363,15 @@ def range_bucket(
         if need > _BUCKET_MAX:
             # Beyond the literal cap: hand off to the shuffled
             # assignment (no collected literals, same results — see
-            # _range_bucket_shuffled).
+            # _range_bucket_shuffled). The sketch that rode this scan
+            # is discarded here — an accepted trade-off (round-11
+            # advisor note): splitting count(*) into its own pass
+            # would charge EVERY under-cap caller (the overwhelmingly
+            # common case) a second scan to save beyond-cap callers
+            # one sketch buffer that is already amortized into the
+            # same single pass as the count. The discarded work is
+            # one ~8KB-per-partition quantile sketch, not a second
+            # scan.
             return _range_bucket_shuffled(df, key, need)
         n_buckets = max(_BUCKET_MIN, min(_BUCKET_MAX, need))
         bounds = [
