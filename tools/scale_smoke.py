@@ -52,6 +52,71 @@ TABLES = {
 
 OFFSET = 10_000_000  # far above any sf0.1 key
 
+# --------------------------------------------------------------------
+# Per-copy CONTENT perturbation (r12, SMOKE_PERTURB=documents,...).
+# Key offsets alone are the WRONG stressor for similarity queries, in
+# both directions at once:
+#   - text: replicated documents are byte-identical, so the exact-dup
+#     collapse (_rep_features) folds all copies back to ONE
+#     representative — the candidate/verify stages then run on
+#     UNSCALED data and the smoke trivially reads flat;
+#   - vectors: there is no exact-dup collapse in the embedding family
+#     (exact dedup is an upstream stage by design), so C identical
+#     copies of every vector share cluster+bucket+csim and candidate
+#     pairs grow C² per original — a quadratic blowup no real 100×
+#     corpus exhibits (real corpora don't hold every vector 100×).
+# The realistic 100× corpus is "100 shards with the same INTERNAL
+# near-dup structure": each copy keeps its geometry exactly, copies
+# are mutually dissimilar.
+#   - documents: suffix every whitespace token with a copy tag
+#     (lowercased, so the tokenizer keeps it). Token counts, df
+#     distribution and shingle structure are preserved per copy;
+#     shingle vocab cardinality ×C with per-key fan-in constant (the
+#     same philosophy as the key offsets). Caveat recorded in
+#     SCALE_NOTES: a real merged corpus also shares COMMON shingles
+#     across shards, but those sit at the tail of the df order and
+#     are provably excluded from rarest-first prefixes, so
+#     shard-disjoint vocab is the faithful stressor for the
+#     prefix-join stage.
+#   - embeddings: per-copy deterministic sign reflection s[c,d]∈{±1}
+#     per dimension (an orthogonal transform — within-copy cosines
+#     and norms are bit-preserved) — cross-copy cosines collapse to
+#     ~N(0, 1/dim) noise, far below any dedup threshold.
+PERTURB = {}
+
+
+def _perturb_documents(df, c: int):
+    if c == 0:
+        return df
+    return df.withColumn(
+        "text", F.regexp_replace("text", r"(\S+)", f"$1c{c}")
+    )
+
+
+def _perturb_embeddings(df, c: int):
+    if c == 0:
+        return df
+    return df.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(F.lit(int(c)), i), F.lit(2)) == 0, x
+            ).otherwise(-x),
+        ),
+    )
+
+
+if os.environ.get("SMOKE_PERTURB"):
+    _avail = {
+        "documents": _perturb_documents,
+        "embeddings": _perturb_embeddings,
+    }
+    for _t in os.environ["SMOKE_PERTURB"].split(","):
+        if _t not in _avail:
+            sys.exit(f"SMOKE_PERTURB table without a perturbation: {_t}")
+        PERTURB[_t] = _avail[_t]
+
 HEAVY = [
     "pricing_summary",
     "group_agg_basic",
@@ -105,6 +170,8 @@ def main() -> None:
                     df = src
                     for k in keys:
                         df = df.withColumn(k, F.col(k) + F.lit(c * OFFSET))
+                    if name in PERTURB:
+                        df = PERTURB[name](df, c)
                     parts.append(df)
                 import functools
 
