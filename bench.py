@@ -853,6 +853,7 @@ def main() -> None:
                 norms, out["sf"], raw=timings, plans=plans
             )
             out["regression_candidates"] = len(regressions)
+            rechecked_any = bool(regressions)
             if regressions:
                 regressions = _confirm_regressions(
                     regressions, sf_dir, timings
@@ -866,9 +867,10 @@ def main() -> None:
             # window (BENCH_r11's jaccard at 49.64 s).
             if suppressed:
                 _recheck_suppressed(suppressed, sf_dir, timings)
+                rechecked_any = True
             out["suppressed_by_plan"] = suppressed
             out["history_reseeded"] = reseeded
-            if regressions or suppressed:
+            if rechecked_any:
                 # The rechecks may have corrected archived raw seconds
                 # (timings is the same dict out["queries"] points at) —
                 # recompute the aggregates from the corrected map.

@@ -741,14 +741,23 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("tok_s").alias("tok"))
         .persist()
     )
-    df = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    # df = token document frequency as a WINDOW over the tok
+    # partitioning, not groupBy+join (r12): the join spelling's build
+    # side is an explode-fed VOCABULARY-sized aggregate, and Catalyst's
+    # static size estimate cannot see through Generate — at ×100 data
+    # the static planner still chose BroadcastHashJoin for a ~20M-row
+    # vocab and the broadcast build blew the driver (the ×100 smoke's
+    # one real find this round; SCALE_NOTES). The window needs exactly
+    # the one tok-shuffle any scale-safe join spelling would pay, with
+    # no join operator left for the planner to misplan at any scale.
     # rn and n ride the SAME doc_id shuffle (two window specs, one
     # partitioning) — no doc-level side table to join or broadcast,
     # which would be corpus-sized at 100 TB.
+    w_tok = Window.partitionBy("tok")
     w_part = Window.partitionBy("doc_id")
     w_doc = w_part.orderBy("df", "tok")
     pfx = (
-        ex.join(df, "tok")
+        ex.withColumn("df", F.count("*").over(w_tok))
         .withColumn("rn", F.row_number().over(w_doc))
         .withColumn("n", F.count("*").over(w_part))
         .filter(
@@ -764,7 +773,12 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ra, rb) caps the total overlap at min(na-ra, nb-rb)+1, which
     # must reach the θ-equivalent overlap ⌈(na+nb)/3⌉ (3x ≥ y is the
     # integer spelling of x ≥ ⌈y/3⌉).
-    a, b = pfx.alias("a"), pfx.alias("b")
+    # merge-hint the prefix self-join: BOTH sides are the corpus-sized
+    # prefix index, but its window-only lineage gives Catalyst a
+    # Generate-blind size estimate small enough to broadcast statically
+    # (driver kill at scale). SMJ sorts fixed-width (tok, ids) rows and
+    # spills gracefully — the classic ppjoin physical shape.
+    a, b = pfx.alias("a").hint("merge"), pfx.alias("b")
     an, bn = F.col("a.n"), F.col("b.n")
     cand = (
         a.join(
@@ -786,8 +800,24 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
+    # Verification joins carry the CORPUS-sized feature arrays on the
+    # fa/fb side — statically the planner broadcast them (the same
+    # Generate-blind estimate as the df join above; at ×100 the fa
+    # broadcast alone is ~0.5 GB of arrays). Merge-hinted: SMJ never
+    # builds a hash relation, so neither a corpus-sized build NOR a
+    # candidate×array build can exhaust task memory (a shuffle_hash
+    # spelling was tried first, and its second join's build — the
+    # cand⋈fa intermediate WITH its ta arrays — blew the per-task
+    # memory budget at ×100 under full 32-thread concurrency; sorts
+    # spill, hash builds don't). The fa/fb side arrives
+    # hash-partitioned on doc_id from its own aggregate, so each SMJ
+    # adds only the candidate-side exchange plus sorts. The hint is
+    # consumed per-join, so the intermediate is re-hinted for the
+    # second join.
     return (
-        cand.join(fa, "doc_a")
+        cand.hint("merge")
+        .join(fa, "doc_a")
+        .hint("merge")
         .join(fb, "doc_b")
         .select(
             "doc_a",

@@ -155,26 +155,38 @@ def _gram_features(d: DataFrame) -> DataFrame:
     concat_ws, hash-agg collect_set) is codegen-able and each token is
     materialized exactly once. collect_set's arbitrary array order is
     fine: every consumer (min-over-md5 minhash, explode, intersection
-    counts) is order-insensitive. Docs with <3 tokens keep an empty
-    feats array via the left join back to the doc list — same contract
-    as the old expression.
+    counts) is order-insensitive.
+
+    Docs with <3 tokens keep an empty feats array WITHOUT a join back
+    to the doc list (r12): the old left-join's build side was this
+    very doc-keyed feature aggregate — corpus-sized arrays whose
+    static size estimate Catalyst derives through a Generate it cannot
+    see through, so the planner broadcast it (fine at bench SFs, a
+    guaranteed driver kill at corpus scale — the ×100 smoke hit
+    exactly this on the sibling df join, SCALE_NOTES r12). Instead,
+    posexplode_outer keeps every doc in the exploded frame (NULL
+    token row for empty/NULL text), partial grams enter collect_set
+    as NULLs (ignored), and a doc whose grams are all NULL aggregates
+    to the empty set — same contract, one hash-agg, zero joins for
+    the planner to misplan at any scale.
     """
-    toks = d.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    toks = d.select(
+        "doc_id", F.posexplode_outer(TX.tokens("text")).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     lead2 = F.lead("tok", 2).over(w)
-    grams = (
+    return (
         toks.select(
             "doc_id",
             F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), lead2).alias("gram"),
             lead2.isNotNull().alias("full_gram"),
         )
-        .filter(F.col("full_gram"))
         .groupBy("doc_id")
-        .agg(F.collect_set("gram").alias("feats"))
-    )
-    return d.select("doc_id").join(grams, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("feats", F.array().cast("array<string>")).alias("feats"),
+        .agg(
+            F.collect_set(
+                F.when(F.col("full_gram"), F.col("gram"))
+            ).alias("feats")
+        )
     )
 
 

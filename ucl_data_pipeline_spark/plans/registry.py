@@ -87,20 +87,24 @@ def register(
 # and locally verified -- tools/verify_local.py covers the full
 # inventory).
 #
-# Round-12 rotation (the round-11 verdict's task 2). After r11 the
-# never-witnessed count is 0 and the vintage distribution is r3: 3,
-# r4: 49, r5-r11: 341 (computed from CORRECTNESS_r01-r11; the r11
-# prefix consumed all 15 r2-vintage rows and 35 r3 rows). The 50-slot
-# prefix is exactly the oldest backlog:
-#   (1) all 3 remaining r3-vintage rows (url_normalize --
-#       displaced last round by the changed-plan gini --
-#       vocab_coverage, window_frame_surface; the round-11 judge
-#       re-verified all three exact at sf0.01);
-#   (2) the 47 alphabetically-first r4-vintage rows, leaving
-#       user_event_sequences and view_click_interval_join (r4) plus
-#       the r5+ tail for round 13.
-# No query plan changes this round (bench tracker, rotation-gate test,
-# and docstring fixes only), so REWITNESS_CHANGED is empty.
+# Round-12 rotation (the round-11 verdict's task 2, re-planned after
+# the ×100 smoke found the Generate-blind static-broadcast class).
+# After r11 the never-witnessed count is 0 and the vintage
+# distribution is r3: 3, r4: 49, r5-r11: 341 (computed from
+# CORRECTNESS_r01-r11; the r11 prefix consumed all 15 r2-vintage rows
+# and 35 r3 rows). The 50-slot prefix:
+#   (1) all 3 remaining r3-vintage rows (url_normalize -- displaced
+#       last round by the changed-plan gini -- vocab_coverage,
+#       window_frame_surface; the round-11 judge re-verified all
+#       three exact at sf0.01);
+#   (2) the 13 REWITNESS_CHANGED rows below -- every query whose
+#       physical plan changed with the r12 scale fixes
+#       (_gram_features lost its corpus-array left join;
+#       jaccard_prefix_filter_pairs additionally rewrote its df join
+#       as a window and pinned its join strategies; SCALE_NOTES r12);
+#   (3) the 34 alphabetically-first r4-vintage rows, leaving 15 r4
+#       rows (regr_ols_surface .. view_click_interval_join) plus the
+#       r5+ tail for round 13.
 # Everything later in the dict has a green row from rounds 4-11 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
@@ -111,14 +115,42 @@ def register(
 # oldest-vintage rows) -- the rotation can no longer silently drift
 # from its comment (the round-8 failure mode, fixed manually in r9,
 # now gated).
-REWITNESS_CHANGED: tuple[str, ...] = ()
+REWITNESS_CHANGED: tuple[str, ...] = (
+    "ann_rrf_fusion",
+    "bag_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_pr",
+    "fellegi_sunter_patterns",
+    "jaccard_prefix_filter_pairs",
+    "jaccard_shingle_pairs",
+    "minhash_jaccard_error",
+    "minhash_signatures",
+    "minhash_size_frontier",
+    "reciprocal_best_match",
+    "shingle_containment_pairs",
+    "source_minhash_overlap",
+)
 
 EXPORT_FIRST: tuple[str, ...] = (
     # (1) the 3 remaining r3-vintage rows
     "url_normalize",
     "vocab_coverage",
     "window_frame_surface",
-    # (2) the 47 alphabetically-first r4-vintage rows
+    # (2) the 13 changed-plan rows, re-witnessed while changed
+    "ann_rrf_fusion",
+    "bag_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_pr",
+    "fellegi_sunter_patterns",
+    "jaccard_prefix_filter_pairs",
+    "jaccard_shingle_pairs",
+    "minhash_jaccard_error",
+    "minhash_signatures",
+    "minhash_size_frontier",
+    "reciprocal_best_match",
+    "shingle_containment_pairs",
+    "source_minhash_overlap",
+    # (3) the 34 alphabetically-first r4-vintage rows
     "ann_recall_at_3",
     "as_of_join_nearest",
     "checksum_table",
@@ -153,19 +185,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "percentile_cont_surface",
     "percentile_disc_surface",
     "pricing_summary",
-    "regr_ols_surface",
-    "robust_zscore_outliers",
-    "semi_join_big_spenders",
-    "session_window_agg",
-    "sessionize_gaps_islands",
-    "shard_assignment_rendezvous",
-    "sliding_window_agg",
-    "time_weighted_avg",
-    "token_pmi_pairs",
-    "train_val_test_split",
-    "triangle_count_trade",
-    "tumbling_window_agg",
-    "unigram_entropy",
 )
 
 
