@@ -162,7 +162,10 @@ def minhash_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_key"
         ),
     ).filter(F.col("band_key").isNotNull())
-    a = bucket.alias("a")
+    # merge-hinted: both sides of the band self-join are corpus-sized
+    # (the r12 ×100-smoke Generate-blind broadcast class — see
+    # llm_ops.lsh_candidate_pairs).
+    a = bucket.alias("a").hint("merge")
     b = bucket.alias("b")
     cand = (
         a.join(
@@ -195,7 +198,12 @@ def minhash_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fa") + F.size("fb") - inter
     ).cast("double")
     err = (
-        cand.join(sa, "doc_a")
+        # merge-hinted: sa/sb carry corpus-sized feature arrays the
+        # static planner would broadcast on a Generate-blind estimate
+        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
+        cand.hint("merge")
+        .join(sa, "doc_a")
+        .hint("merge")
         .join(sb, "doc_b")
         .select(
             (m[0] + m[1]).alias("m2"),

@@ -110,7 +110,11 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced and two such degenerate sources count as agreeing.
     """
     d = read_table(spark, sf_dir, "documents")
-    feats = _doc_features(spark, sf_dir).join(
+    # merge-hinted: BOTH sides are doc-grain (corpus-growing) — the
+    # static planner broadcast the FEATURES side because its
+    # Generate-blind estimate undercut the honest scan estimate of the
+    # (doc_id, source) projection (the r12 ×100-smoke class).
+    feats = _doc_features(spark, sf_dir).hint("merge").join(
         d.select("doc_id", "source"), "doc_id"
     )
     doc_sigs = feats.select(

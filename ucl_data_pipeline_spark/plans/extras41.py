@@ -110,7 +110,12 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
     scored = (
-        cand.join(fa, "doc_a")
+        # merge-hinted: fa/fb carry corpus-sized feature arrays the
+        # static planner would broadcast on a Generate-blind estimate
+        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
+        cand.hint("merge")
+        .join(fa, "doc_a")
+        .hint("merge")
         .join(fb, "doc_b")
         .select(
             "doc_a",
@@ -141,7 +146,10 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("partner"), F.col("partner").alias("doc")
     )
     return (
-        best.join(rev, ["doc", "partner"])
+        # merge-hinted: both sides are the node-sized best-partner
+        # frame (corpus-growing; same Generate-blind estimate class).
+        best.hint("merge")
+        .join(rev, ["doc", "partner"])
         .filter(F.col("doc") < F.col("partner"))
         .select(
             F.col("doc").alias("doc_a"),
@@ -227,7 +235,12 @@ def bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "tokd", F.col("c").alias("cb")
     )
     shared = (
-        cand.join(ta, "doc_a")
+        # merge-hinted: ta/tb are corpus-sized exploded token-count
+        # frames the static planner would broadcast on Generate-blind
+        # estimates (the r12 ×100-smoke class — see extras9/llm_ops).
+        cand.hint("merge")
+        .join(ta, "doc_a")
+        .hint("merge")
         .join(tb, ["doc_b", "tokd"])
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -246,7 +259,11 @@ def bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_set").alias("nb_set"),
     )
     return (
-        shared.join(sa, "doc_a")
+        # merge-hinted: sa/sb are doc-grain (corpus-growing) size
+        # tables — same class as above.
+        shared.hint("merge")
+        .join(sa, "doc_a")
+        .hint("merge")
         .join(sb, "doc_b")
         .select(
             "doc_a",

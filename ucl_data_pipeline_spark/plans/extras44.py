@@ -369,7 +369,12 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lb").alias("lb_b"),
     )
     pr = (
-        cand.join(fa, "doc_a")
+        # merge-hinted: fa/fb carry corpus-sized feature arrays the
+        # static planner would broadcast on a Generate-blind estimate
+        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
+        cand.hint("merge")
+        .join(fa, "doc_a")
+        .hint("merge")
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", inter.alias("i_n"), union.alias("u_n"))
         .join(da, "doc_a")

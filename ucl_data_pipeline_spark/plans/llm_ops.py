@@ -263,7 +263,13 @@ def lsh_candidate_pairs(feats: DataFrame) -> DataFrame:
         .filter(F.col("band_key").isNotNull())
         .select("doc_id", "band_idx", F.xxhash64("band_key").alias("band_key"))
     )
-    a = bucket.alias("a")
+    # merge-hinted (r12): BOTH sides of the band-bucket self-join are
+    # the corpus-sized (doc_id, band_idx, band_key) frame; its static
+    # size estimate rides through the banding lineage's Generate and
+    # the planner chose BroadcastHashJoin (the ×100-smoke class,
+    # SCALE_NOTES r12). SMJ on the fixed-width band keys spills
+    # gracefully and AQE still splits skewed buckets.
+    a = bucket.alias("a").hint("merge")
     b = bucket.alias("b")
     return (
         a.join(
@@ -345,8 +351,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is O(n·m) interpreted per candidate pair
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
+    # merge-hinted verification joins (r12): fa/fb carry CORPUS-sized
+    # feature arrays whose static size estimate rides through a
+    # Generate Catalyst cannot see into — the static planner broadcast
+    # them and the ×100 perturbed smoke blew the driver on exactly
+    # this site (SCALE_NOTES r12; same class and fix as
+    # jaccard_prefix_filter_pairs, extras9). SMJ builds no hash
+    # relation and spills; the hint is consumed per-join, so the
+    # intermediate is re-hinted.
     return (
-        cand.join(fa, "doc_a")
+        cand.hint("merge")
+        .join(fa, "doc_a")
+        .hint("merge")
         .join(fb, "doc_b")
         .select(
             "doc_a",
@@ -419,17 +435,26 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("f").alias("f"))
         .persist()
     )
-    # df-cap via groupBy-on-f + join-on-f: both stages key by the
-    # shingle digest, so AQE reuses one shuffle partitioning for both.
-    informative = (
-        ex.groupBy("f")
-        .agg(F.count("*").alias("df"))
+    # df-cap and doc sizes as WINDOWS, not groupBy+join (r12): the old
+    # spelling had THREE joins whose build sides grow with the corpus
+    # (the vocab-sized `informative` list and two doc-sized size
+    # tables) — all three rode Generate-blind static size estimates
+    # into BroadcastHashJoin (the ×100-smoke class, SCALE_NOTES r12).
+    # The df window pays the same f-shuffle the cap join did; the
+    # post-cap doc size rides a doc_id window; na/nb then travel
+    # through the self-join sides and become group keys (determined by
+    # doc_a/doc_b, so they add no group cardinality). One join left —
+    # the inverted-index self-join — merge-hinted for the same reason.
+    w_f = Window.partitionBy("f")
+    w_doc = Window.partitionBy("doc_id")
+    ex_inf = (
+        ex.withColumn("df", F.count("*").over(w_f))
         .filter(F.col("df") <= _JACCARD_MAX_DF)
-        .select("f")
+        .withColumn("n", F.count("*").over(w_doc))
+        .select("doc_id", "f", "n")
+        .persist()
     )
-    ex_inf = ex.join(informative, "f").persist()
-    sizes = ex_inf.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex_inf.alias("a")
+    a = ex_inf.alias("a").hint("merge")
     b = ex_inf.alias("b")
     shared = (
         a.join(
@@ -438,24 +463,21 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
-            ).alias("jaccard"),
-        )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+        ).alias("jaccard"),
     )
 
 

@@ -297,15 +297,21 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("f").alias("f"))
         .persist()
     )
-    informative = (
-        ex.groupBy("f")
-        .agg(F.count("*").alias("df"))
+    # df-cap and doc sizes as WINDOWS, not groupBy+join — and na/nb as
+    # group keys determined by doc_a/doc_b (same r12 restructure and
+    # rationale as jaccard_shingle_pairs, llm_ops.py: the old
+    # spelling's three join build sides all grow with the corpus and
+    # rode Generate-blind static estimates into broadcasts).
+    w_f = Window.partitionBy("f")
+    w_doc = Window.partitionBy("doc_id")
+    ex_inf = (
+        ex.withColumn("df", F.count("*").over(w_f))
         .filter(F.col("df") <= _CONTAINMENT_MAX_DF)
-        .select("f")
+        .withColumn("n", F.count("*").over(w_doc))
+        .select("doc_id", "f", "n")
+        .persist()
     )
-    ex_inf = ex.join(informative, "f").persist()
-    sizes = ex_inf.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex_inf.alias("a")
+    a = ex_inf.alias("a").hint("merge")
     b = ex_inf.alias("b")
     shared = (
         a.join(
@@ -313,25 +319,24 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.f") == F.col("b.f"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_shared").cast("double") / F.col("na").cast("double")).alias(
-                "containment_a"
-            ),
-            (F.col("n_shared").cast("double") / F.col("nb").cast("double")).alias(
-                "containment_b"
-            ),
-        )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_shared").cast("double") / F.col("na").cast("double")).alias(
+            "containment_a"
+        ),
+        (F.col("n_shared").cast("double") / F.col("nb").cast("double")).alias(
+            "containment_b"
+        ),
     )
 
 
