@@ -180,11 +180,20 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = norms.select(
         "doc_id", (F.col("b") - 1).alias("b"), F.col("nrm").alias("nb")
     )
+    # merge-hinted (r12): every side here is block- or block-token
+    # grain (corpus-growing), but the localCheckpoint barrier carries
+    # Generate-blind size estimates and the static planner broadcast
+    # all four builds — the ×100 perturbed smoke blew the driver on
+    # this query (SCALE_NOTES r12). The 1-row threshold crossJoin
+    # below stays an explicit broadcast (scalar, bounded).
     gaps = (
-        a.join(bb, ["doc_id", "b", "tok"])
+        a.hint("merge")
+        .join(bb, ["doc_id", "b", "tok"])
         .groupBy("doc_id", "b")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+        .hint("merge")
         .join(na, ["doc_id", "b"])
+        .hint("merge")
         .join(nb, ["doc_id", "b"])
         .select(
             "doc_id",
@@ -199,7 +208,7 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    has_next = norms.alias("n").join(
+    has_next = norms.alias("n").hint("merge").join(
         norms.alias("n2"),
         (F.col("n.doc_id") == F.col("n2.doc_id"))
         & (F.col("n2.b") == F.col("n.b") + 1),

@@ -515,7 +515,13 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("full"))
         .select("doc_id", "s")
         .distinct()
-        .join(ranked.select("doc_id", "rk"), "doc_id")
+        # merge-hinted: ranked is doc-grain (corpus-growing) and its
+        # windowed lineage gives the static planner a Generate/
+        # Window-blind size estimate — it broadcast the build and the
+        # ×100 perturbed smoke blew the driver here (the r12 class,
+        # SCALE_NOTES; the shuffle is on doc_id, which the distinct
+        # above already partitioned one side for).
+        .join(ranked.select("doc_id", "rk").hint("merge"), "doc_id")
     )
     first_seen = grams.groupBy("s").agg(F.min("rk").alias("first_rk"))
     # Checkpoint-grain accumulation, NOT a (types × checkpoints)

@@ -97,14 +97,17 @@ def register(
 #       last round by the changed-plan gini -- vocab_coverage,
 #       window_frame_surface; the round-11 judge re-verified all
 #       three exact at sf0.01);
-#   (2) the 13 REWITNESS_CHANGED rows below -- every query whose
+#   (2) the 15 REWITNESS_CHANGED rows below -- every query whose
 #       physical plan changed with the r12 scale fixes
-#       (_gram_features lost its corpus-array left join;
-#       jaccard_prefix_filter_pairs additionally rewrote its df join
-#       as a window and pinned its join strategies; SCALE_NOTES r12);
-#   (3) the 34 alphabetically-first r4-vintage rows, leaving 15 r4
-#       rows (regr_ols_surface .. view_click_interval_join) plus the
-#       r5+ tail for round 13.
+#       (_gram_features lost its corpus-array left join; the
+#       jaccard/containment pair miners rewrote df-cap/size joins as
+#       windows; the minhash family, heaps_law_exponent and
+#       texttiling_boundaries pinned merge joins at corpus-grain
+#       sites; SCALE_NOTES r12);
+#   (3) the 32 alphabetically-first r4-vintage rows, leaving 17 r4
+#       rows (percentile_disc_surface, pricing_summary,
+#       regr_ols_surface .. view_click_interval_join) plus the r5+
+#       tail for round 13.
 # Everything later in the dict has a green row from rounds 4-11 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
@@ -121,6 +124,7 @@ REWITNESS_CHANGED: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_pr",
     "fellegi_sunter_patterns",
+    "heaps_law_exponent",
     "jaccard_prefix_filter_pairs",
     "jaccard_shingle_pairs",
     "minhash_jaccard_error",
@@ -129,6 +133,7 @@ REWITNESS_CHANGED: tuple[str, ...] = (
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
+    "texttiling_boundaries",
 )
 
 EXPORT_FIRST: tuple[str, ...] = (
@@ -136,12 +141,13 @@ EXPORT_FIRST: tuple[str, ...] = (
     "url_normalize",
     "vocab_coverage",
     "window_frame_surface",
-    # (2) the 13 changed-plan rows, re-witnessed while changed
+    # (2) the 15 changed-plan rows, re-witnessed while changed
     "ann_rrf_fusion",
     "bag_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_minhash_pr",
     "fellegi_sunter_patterns",
+    "heaps_law_exponent",
     "jaccard_prefix_filter_pairs",
     "jaccard_shingle_pairs",
     "minhash_jaccard_error",
@@ -150,7 +156,8 @@ EXPORT_FIRST: tuple[str, ...] = (
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
-    # (3) the 34 alphabetically-first r4-vintage rows
+    "texttiling_boundaries",
+    # (3) the 32 alphabetically-first r4-vintage rows
     "ann_recall_at_3",
     "as_of_join_nearest",
     "checksum_table",
@@ -183,8 +190,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "outer_join_hybrid",
     "pareto_frontier_parts",
     "percentile_cont_surface",
-    "percentile_disc_surface",
-    "pricing_summary",
 )
 
 
