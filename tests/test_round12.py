@@ -143,3 +143,54 @@ def test_confirm_regressions_archives_best_of_two(tmp_path, monkeypatch):
     confirmed = bench._confirm_regressions(regs, "/nowhere", timings)
     assert confirmed == [], "recheck at baseline level must clear the flag"
     assert timings["q"] == 2.1, "archived raw must be best-of-2"
+
+
+def test_cc_subgraph_propagation_identical_to_corpus_walk(spark, sf_dir):
+    """r12 optimization gate: dedup_connected_components now iterates
+    label propagation over the EDGE-NODE subgraph only and re-attaches
+    isolated documents at the end (left join + coalesce). The invariant
+    that makes this result-identical — a document with no edge can
+    never change label — is asserted here against an independent
+    Python union-find over a synthetic edge set that includes a
+    diameter-2 chain (multi-round propagation) and isolated docs."""
+    from pyspark.sql import functions as F
+
+    from ucl_data_pipeline_spark.plans.llm_ops import (
+        dedup_connected_components,
+    )
+    from ucl_data_pipeline_spark.sources.io import read_table
+
+    pairs = [(7, 1), (1, 2), (410, 411), (2, 350)]  # chain + pair
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    ).persist()
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_connected_components(
+            spark, sf_dir, edges=edges
+        ).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    # independent reference: union-find over the full doc list
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in docs}
+    assert got == expected
+    assert len(got) == len(docs), "every document keeps a label row"
+    edges.unpersist()

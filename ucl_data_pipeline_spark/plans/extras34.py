@@ -391,9 +391,17 @@ def cc_superstep_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine by construction.
     """
     edges = cc_edge_set(spark, sf_dir)
+    # r12 (optimization round): propagate on the EDGE-NODE subgraph
+    # and fold the old label into the same min-aggregate (the
+    # dedup_connected_components r12 spelling) — isolated docs never
+    # change label, so every per-step n_changed is bit-identical while
+    # each superstep shuffles dup-graph-sized frames (477 nodes vs
+    # 5,000 docs at sf0.1) and the old per-step changed-count JOIN
+    # becomes a filter over the already-checkpointed step frame.
     labels = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("component_id"))
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
     out: DataFrame | None = None
@@ -403,23 +411,27 @@ def cc_superstep_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(labels, F.col("dst") == F.col("doc_id"))
             .select(F.col("src").alias("doc_id"), "component_id")
         )
-        new_labels = (
-            labels.unionByName(nbr)
+        merged = (
+            labels.withColumn("__own", F.lit(1))
+            .unionByName(nbr.withColumn("__own", F.lit(0)))
             .groupBy("doc_id")
-            .agg(F.min("component_id").alias("component_id"))
+            .agg(
+                F.min("component_id").alias("component_id"),
+                F.min(
+                    F.when(F.col("__own") == 1, F.col("component_id"))
+                ).alias("__old"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            merged.filter(F.col("component_id") != F.col("__old"))
             .agg(F.count("*").cast("bigint").alias("n_changed"))
             .select(
                 F.lit(step).cast("int").alias("superstep"), "n_changed"
             )
         )
         out = changed if out is None else out.unionByName(changed)
-        labels = new_labels
+        labels = merged.select("doc_id", "component_id")
     edges.unpersist()
     return out
 

@@ -97,15 +97,22 @@ def register(
 #       last round by the changed-plan gini -- vocab_coverage,
 #       window_frame_surface; the round-11 judge re-verified all
 #       three exact at sf0.01);
-#   (2) the 15 REWITNESS_CHANGED rows below -- every query whose
+#   (2) the 19 REWITNESS_CHANGED rows below -- every query whose
 #       physical plan changed with the r12 scale fixes
 #       (_gram_features lost its corpus-array left join; the
 #       jaccard/containment pair miners rewrote df-cap/size joins as
 #       windows; the minhash family, heaps_law_exponent and
 #       texttiling_boundaries pinned merge joins at corpus-grain
-#       sites; SCALE_NOTES r12);
-#   (3) the 32 alphabetically-first r4-vintage rows, leaving 17 r4
-#       rows (percentile_disc_surface, pricing_summary,
+#       sites; SCALE_NOTES r12) PLUS the four connected-components
+#       queries whose propagation loop was rewritten in the r12
+#       optimization pass (edge-node-subgraph labels, folded
+#       convergence check -- llm_ops.dedup_connected_components,
+#       extras34.cc_superstep_convergence, and their composers
+#       cc_canonical_selection / component_split_assign);
+#   (3) the 28 alphabetically-first r4-vintage rows, leaving 21 r4
+#       rows (multimodal_frame_sample, outer_join_hybrid,
+#       pareto_frontier_parts, percentile_cont_surface,
+#       percentile_disc_surface, pricing_summary,
 #       regr_ols_surface .. view_click_interval_join) plus the r5+
 #       tail for round 13.
 # Everything later in the dict has a green row from rounds 4-11 and
@@ -121,6 +128,10 @@ def register(
 REWITNESS_CHANGED: tuple[str, ...] = (
     "ann_rrf_fusion",
     "bag_jaccard_pairs",
+    "cc_canonical_selection",
+    "cc_superstep_convergence",
+    "component_split_assign",
+    "dedup_connected_components",
     "dedup_minhash_lsh",
     "dedup_minhash_pr",
     "fellegi_sunter_patterns",
@@ -141,9 +152,13 @@ EXPORT_FIRST: tuple[str, ...] = (
     "url_normalize",
     "vocab_coverage",
     "window_frame_surface",
-    # (2) the 15 changed-plan rows, re-witnessed while changed
+    # (2) the 19 changed-plan rows, re-witnessed while changed
     "ann_rrf_fusion",
     "bag_jaccard_pairs",
+    "cc_canonical_selection",
+    "cc_superstep_convergence",
+    "component_split_assign",
+    "dedup_connected_components",
     "dedup_minhash_lsh",
     "dedup_minhash_pr",
     "fellegi_sunter_patterns",
@@ -157,7 +172,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "shingle_containment_pairs",
     "source_minhash_overlap",
     "texttiling_boundaries",
-    # (3) the 32 alphabetically-first r4-vintage rows
+    # (3) the 28 alphabetically-first r4-vintage rows
     "ann_recall_at_3",
     "as_of_join_nearest",
     "checksum_table",
@@ -186,10 +201,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "map_ho_functions",
     "mode_per_group",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "outer_join_hybrid",
-    "pareto_frontier_parts",
-    "percentile_cont_surface",
 )
 
 
