@@ -321,7 +321,14 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         VX.cosine("q_emb", "c_emb").alias("cos_sim"),
-    )
+    # twice-consumed (ncand agg + top3 window) and expensive to build
+    # (the cosine-scored probe join): without the persist the whole
+    # candidate subtree — embeddings scan, probe ranking, candidate
+    # join, per-candidate cosines — executed once per consumer (the
+    # r12 plan dump showed 8 embeddings scans / 14 Windows in one
+    # query; persist cuts it to one build, measured 3.5 → 2.9 s at
+    # sf0.1). The theil_sen multi-pass persist precedent.
+    ).persist()
     ncand = cand.groupBy("nprobe", "query_id").agg(
         F.count("*").alias("n_cand")
     )

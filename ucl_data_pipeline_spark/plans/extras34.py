@@ -378,13 +378,14 @@ def cc_superstep_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final step's count is 0 (propagation fully converged at depth
     3 on this corpus).
 
-    Plan shape: each superstep is one broadcast join (edges are
+    Plan shape (r12): each superstep is one broadcast join (edges are
     sparse near-dup pairs, tiny vs the corpus) + a min hash-agg at
-    doc grain — identical per-step cost to the CC query itself; the
-    changed-count is a doc-grain equi-join of two consecutive label
-    frames. Labels are localCheckpointed per step (the CC loop's own
-    lineage policy), so the three counts don't re-execute shared
-    superstep lineage.
+    EDGE-NODE grain — identical per-step cost to the CC query itself;
+    the changed-count rides the same aggregate (the own-label fold),
+    so it is a filter over the checkpointed step frame, not a join.
+    Labels are localCheckpointed per step (the CC loop's own lineage
+    policy), so the three counts don't re-execute shared superstep
+    lineage.
 
     Determinism: labels are exact MIN aggregates of doc_ids (total
     order, no floats anywhere) — counts are bit-identical
