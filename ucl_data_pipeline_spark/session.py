@@ -43,6 +43,23 @@ def engine_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # r13: let AQE right-size partitions INSIDE cached plans too.
+        # Off (the Spark default) every persist() freezes its plan's
+        # static shuffle-partition count into the cache — tiny persisted
+        # frames (nation-grain edge tables, dup-pair graphs, doc-grain
+        # feature aggregates) were materialized at
+        # $SPARK_GRAFT_SHUFFLE_PARTITIONS partitions, and every
+        # per-superstep broadcast rebuild / cache scan in the iterative
+        # family paid that task count per job (the r12 PERF scaling
+        # block's 8-core-beats-32 inversion). AQE sizes cached-plan
+        # partitions from ACTUAL bytes, so this is scale-adaptive by
+        # construction, not a local-core-count constant. Trade-off: a
+        # cached plan's output partitioning may no longer match a
+        # downstream join key's requirement — measured across the
+        # iterative/similarity/clustering families (23 queries,
+        # interleaved same-JVM A/Bs both orderings): 1.06-1.58x faster,
+        # no regression (OPTIMIZATION_r13.md).
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         # Shuffle sizing
         "spark.sql.shuffle.partitions": str(sp),
         # Arrow for any pandas interchange (vectorized Python paths)
