@@ -1277,7 +1277,21 @@ def cc_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized once (localCheckpoint + persist) — without this the
     union would execute the whole LSH lineage twice, once per
     direction. Shared by ``dedup_connected_components`` and extras34's
-    ``cc_superstep_convergence``."""
+    ``cc_superstep_convergence``.
+
+    r13 (guide §2.2, partition right-sizing): the symmetric union is
+    coalesced to a ROWS-SIZED partition count before the persist. A
+    union's partition count is the SUM of its children's (not a
+    shuffle, so AQE coalescing never applies): at sf0.1 the cached
+    edge frame carried 66 partitions for 498 rows, and every
+    per-superstep broadcast rebuild in the CC loop scanned all 66 as
+    separate tasks — pure scheduling overhead, and the cause of the
+    r12 scaling block's 8-core-beats-32 inversion on this family. The
+    count() after the checkpoint is a narrow read of the materialized
+    RDD (no lineage re-execution); the partition target scales with
+    the dup-graph size (~64k pair rows ≈ 1.5 MB per partition),
+    capped at default parallelism, so a corpus-scale dup graph keeps
+    full parallelism while a bench-scale one collapses to 1."""
     near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
@@ -1287,11 +1301,20 @@ def cc_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     pairs = near.unionByName(exact).localCheckpoint()
+    n_pairs = pairs.count()
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (2 * n_pairs) // 65536 + 1,
+        ),
+    )
     return (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .coalesce(n_parts)
         .persist()
     )
 
@@ -1319,7 +1342,11 @@ def dedup_connected_components(
     ``edges`` lets a composing query (extras45's
     ``component_split_assign``) pass an already-built ``cc_edge_set``
     frame so the LSH verify lineage runs once; ownership follows the
-    argument — a caller-provided frame is not unpersisted here.
+    argument — a caller-provided frame is not unpersisted here. The
+    frame must be SYMMETRIC (every (src, dst) has its (dst, src)
+    mirror, as ``cc_edge_set`` guarantees): labels seed from the
+    distinct ``src`` endpoints, so a directed edge set would silently
+    drop dst-only nodes into self-components.
 
     Scale shape: each round is one broadcast join (edges are sparse —
     near-dup graphs are tiny relative to the corpus) + a min-aggregate;
