@@ -41,7 +41,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
 )
 from ucl_data_pipeline_spark.plans.llm_ops2 import _sql_kgrams
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # MinHash signature-size frontier (estimator error vs hash count)
@@ -162,10 +162,13 @@ def minhash_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_key"
         ),
     ).filter(F.col("band_key").isNotNull())
-    # merge-hinted: both sides of the band self-join are corpus-sized
-    # (the r12 ×100-smoke Generate-blind broadcast class — see
-    # llm_ops.lsh_candidate_pairs).
-    a = bucket.alias("a").hint("merge")
+    # stats-barriered (r13, replacing the r12 merge hint): both sides
+    # of the band self-join are corpus-sized with a Generate-blind
+    # static estimate (the ×100-smoke broadcast class — see
+    # llm_ops.lsh_candidate_pairs); the barrier keeps the static plan
+    # SMJ while AQE's size-measured runtime BHJ conversion stays free.
+    bucket = stats_barrier(bucket)
+    a = bucket.alias("a")
     b = bucket.alias("b")
     cand = (
         a.join(
@@ -179,12 +182,13 @@ def minhash_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sig.select(
+    ssrc = stats_barrier(sig)
+    sa = ssrc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("feats").alias("fa"),
         *[F.col(f"mh_{s}").alias(f"a_mh_{s}") for s in range(6)],
     )
-    sb = sig.select(
+    sb = ssrc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("feats").alias("fb"),
         *[F.col(f"mh_{s}").alias(f"b_mh_{s}") for s in range(6)],
@@ -198,12 +202,12 @@ def minhash_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fa") + F.size("fb") - inter
     ).cast("double")
     err = (
-        # merge-hinted: sa/sb carry corpus-sized feature arrays the
-        # static planner would broadcast on a Generate-blind estimate
-        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
-        cand.hint("merge")
-        .join(sa, "doc_a")
-        .hint("merge")
+        # stats-barriered above: sa/sb carry corpus-sized feature
+        # arrays the static planner would broadcast on a Generate-
+        # blind estimate (the r12 ×100-smoke class — see
+        # dedup_minhash_lsh/extras9); the barrier replaces the r12
+        # merge hints and re-enables AQE's runtime conversion.
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             (m[0] + m[1]).alias("m2"),

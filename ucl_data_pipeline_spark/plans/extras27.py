@@ -38,7 +38,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
     _sql_minhash,
 )
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # 16 permutations: agreement granularity 1/16 — enough to rank source
 # pairs (the decision is "audit this pair or not", not a tight
@@ -110,11 +110,13 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced and two such degenerate sources count as agreeing.
     """
     d = read_table(spark, sf_dir, "documents")
-    # merge-hinted: BOTH sides are doc-grain (corpus-growing) — the
-    # static planner broadcast the FEATURES side because its
-    # Generate-blind estimate undercut the honest scan estimate of the
-    # (doc_id, source) projection (the r12 ×100-smoke class).
-    feats = _doc_features(spark, sf_dir).hint("merge").join(
+    # stats-barriered (r13, replacing the r12 merge hint): BOTH sides
+    # are doc-grain (corpus-growing) — the static planner broadcast the
+    # FEATURES side because its Generate-blind estimate undercut the
+    # honest scan estimate of the (doc_id, source) projection (the
+    # ×100-smoke class). The barrier keeps the static plan SMJ while
+    # AQE's size-measured runtime BHJ conversion stays free.
+    feats = stats_barrier(_doc_features(spark, sf_dir)).join(
         d.select("doc_id", "source"), "doc_id"
     )
     doc_sigs = feats.select(

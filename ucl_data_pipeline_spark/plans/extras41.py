@@ -46,7 +46,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
     text_quality_score,
 )
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import fan_out, read_table
+from ucl_data_pipeline_spark.sources.io import fan_out, read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # Reciprocal best match (mutual-NN link pruning)
@@ -105,17 +105,18 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feats = _rep_features(spark, sf_dir).persist()
     cand = lsh_candidate_pairs(feats)
-    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
-    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
+    # stats-barriered (r13, replacing the r12 merge hints): fa/fb carry
+    # corpus-sized feature arrays the static planner would broadcast on
+    # a Generate-blind estimate (the ×100-smoke class — see
+    # dedup_minhash_lsh/extras9); the barrier keeps the static plan SMJ
+    # and re-enables AQE's size-measured runtime BHJ conversion.
+    fsrc = stats_barrier(feats)
+    fa = fsrc.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
+    fb = fsrc.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
     scored = (
-        # merge-hinted: fa/fb carry corpus-sized feature arrays the
-        # static planner would broadcast on a Generate-blind estimate
-        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
-        cand.hint("merge")
-        .join(fa, "doc_a")
-        .hint("merge")
+        cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select(
             "doc_a",
@@ -142,14 +143,14 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join): persist the node-sized frame
         .persist()
     )
-    rev = best.select(
+    bsrc = stats_barrier(best)
+    rev = bsrc.select(
         F.col("doc").alias("partner"), F.col("partner").alias("doc")
     )
     return (
-        # merge-hinted: both sides are the node-sized best-partner
+        # stats-barriered: both sides are the node-sized best-partner
         # frame (corpus-growing; same Generate-blind estimate class).
-        best.hint("merge")
-        .join(rev, ["doc", "partner"])
+        bsrc.join(rev, ["doc", "partner"])
         .filter(F.col("doc") < F.col("partner"))
         .select(
             F.col("doc").alias("doc_a"),
@@ -228,19 +229,19 @@ def bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n_bag"), F.count("*").alias("n_set")
     )
-    ta = tc.select(
+    # stats-barriered (r13, replacing the r12 merge hints): ta/tb are
+    # corpus-sized exploded token-count frames the static planner would
+    # broadcast on Generate-blind estimates (the ×100-smoke class — see
+    # extras9/llm_ops); static stays SMJ, AQE runtime conversion free.
+    tsrc = stats_barrier(tc)
+    ta = tsrc.select(
         F.col("doc_id").alias("doc_a"), "tokd", F.col("c").alias("ca")
     )
-    tb = tc.select(
+    tb = tsrc.select(
         F.col("doc_id").alias("doc_b"), "tokd", F.col("c").alias("cb")
     )
     shared = (
-        # merge-hinted: ta/tb are corpus-sized exploded token-count
-        # frames the static planner would broadcast on Generate-blind
-        # estimates (the r12 ×100-smoke class — see extras9/llm_ops).
-        cand.hint("merge")
-        .join(ta, "doc_a")
-        .hint("merge")
+        cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "tokd"])
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -248,22 +249,21 @@ def bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("inter_set"),
         )
     )
-    sa = sizes.select(
+    # stats-barriered: sa/sb are doc-grain (corpus-growing) size
+    # tables — same class as above.
+    zsrc = stats_barrier(sizes)
+    sa = zsrc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_bag").alias("na_bag"),
         F.col("n_set").alias("na_set"),
     )
-    sb = sizes.select(
+    sb = zsrc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_bag").alias("nb_bag"),
         F.col("n_set").alias("nb_set"),
     )
     return (
-        # merge-hinted: sa/sb are doc-grain (corpus-growing) size
-        # tables — same class as above.
-        shared.hint("merge")
-        .join(sa, "doc_a")
-        .hint("merge")
+        shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

@@ -48,7 +48,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
     lsh_candidate_pairs,
 )
 from ucl_data_pipeline_spark.plans.registry import register, sql_knuth_bucket
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM, scored per source
@@ -349,8 +349,14 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feats = _rep_features(spark, sf_dir).persist()
     cand = lsh_candidate_pairs(feats)
-    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
-    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
+    # stats-barriered (r13, replacing the r12 merge hints): fa/fb carry
+    # corpus-sized feature arrays the static planner would broadcast on
+    # a Generate-blind estimate (the ×100-smoke class — see
+    # dedup_minhash_lsh/extras9); static stays SMJ, AQE runtime
+    # conversion free again.
+    fsrc = stats_barrier(feats)
+    fa = fsrc.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
+    fb = fsrc.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
     docs = read_table(spark, sf_dir, "documents").select(
@@ -369,12 +375,7 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lb").alias("lb_b"),
     )
     pr = (
-        # merge-hinted: fa/fb carry corpus-sized feature arrays the
-        # static planner would broadcast on a Generate-blind estimate
-        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
-        cand.hint("merge")
-        .join(fa, "doc_a")
-        .hint("merge")
+        cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", inter.alias("i_n"), union.alias("u_n"))
         .join(da, "doc_a")

@@ -44,7 +44,7 @@ from ucl_data_pipeline_spark.plans.extras47 import (
 )
 from ucl_data_pipeline_spark.plans.llm_ops import _SQL_TOKS
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # TextTiling topic boundaries
@@ -172,28 +172,30 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = blk.groupBy("doc_id", "b").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("nrm")
     ).localCheckpoint()
-    a = blk.select("doc_id", "b", "tok", F.col("c").alias("ca"))
-    bb = blk.select(
+    # stats-barriered (r13, replacing the r12 merge hints): every side
+    # here is block- or block-token grain (corpus-growing), but a
+    # localCheckpoint CARRIES its origin plan's Generate-blind size
+    # estimates, and the static planner broadcast all four builds —
+    # the ×100 perturbed smoke blew the driver on this query
+    # (SCALE_NOTES r12). The barrier keeps the static plan SMJ while
+    # AQE's size-measured runtime BHJ conversion stays free. The
+    # 1-row threshold crossJoin below stays an explicit broadcast
+    # (scalar, bounded).
+    blkb = stats_barrier(blk)
+    normsb = stats_barrier(norms)
+    a = blkb.select("doc_id", "b", "tok", F.col("c").alias("ca"))
+    bb = blkb.select(
         "doc_id", (F.col("b") - 1).alias("b"), "tok", F.col("c").alias("cb")
     )
-    na = norms.select("doc_id", "b", F.col("nrm").alias("na"))
-    nb = norms.select(
+    na = normsb.select("doc_id", "b", F.col("nrm").alias("na"))
+    nb = normsb.select(
         "doc_id", (F.col("b") - 1).alias("b"), F.col("nrm").alias("nb")
     )
-    # merge-hinted (r12): every side here is block- or block-token
-    # grain (corpus-growing), but the localCheckpoint barrier carries
-    # Generate-blind size estimates and the static planner broadcast
-    # all four builds — the ×100 perturbed smoke blew the driver on
-    # this query (SCALE_NOTES r12). The 1-row threshold crossJoin
-    # below stays an explicit broadcast (scalar, bounded).
     gaps = (
-        a.hint("merge")
-        .join(bb, ["doc_id", "b", "tok"])
+        a.join(bb, ["doc_id", "b", "tok"])
         .groupBy("doc_id", "b")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
-        .hint("merge")
         .join(na, ["doc_id", "b"])
-        .hint("merge")
         .join(nb, ["doc_id", "b"])
         .select(
             "doc_id",
@@ -208,8 +210,8 @@ def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    has_next = norms.alias("n").hint("merge").join(
-        norms.alias("n2"),
+    has_next = normsb.alias("n").join(
+        normsb.alias("n2"),
         (F.col("n.doc_id") == F.col("n2.doc_id"))
         & (F.col("n2.b") == F.col("n.b") + 1),
         "left_semi",

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.functions import text as TX
 from ucl_data_pipeline_spark.plans.registry import bucketed_row_number, register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # TextRank keyword extraction (PageRank over word co-occurrence)
@@ -504,7 +504,15 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     lead2 = F.lead("tok", 2).over(w_doc)
-    grams = (
+    # stats-barriered (r13, replacing the r12 merge hint): BOTH sides
+    # are corpus-growing with Generate/Window-blind static estimates —
+    # ranked is doc-grain behind a window lineage (its broadcast blew
+    # the driver in the ×100 perturbed smoke, SCALE_NOTES r12) and the
+    # distinct gram table is token-grain behind the posexplode. The
+    # barrier keeps the static plan SMJ (the shuffle is on doc_id,
+    # which the distinct already partitioned one side for) while AQE's
+    # size-measured runtime BHJ conversion stays free.
+    grams = stats_barrier(
         toks.select(
             "doc_id",
             F.concat_ws(
@@ -515,14 +523,7 @@ def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("full"))
         .select("doc_id", "s")
         .distinct()
-        # merge-hinted: ranked is doc-grain (corpus-growing) and its
-        # windowed lineage gives the static planner a Generate/
-        # Window-blind size estimate — it broadcast the build and the
-        # ×100 perturbed smoke blew the driver here (the r12 class,
-        # SCALE_NOTES; the shuffle is on doc_id, which the distinct
-        # above already partitioned one side for).
-        .join(ranked.select("doc_id", "rk").hint("merge"), "doc_id")
-    )
+    ).join(stats_barrier(ranked.select("doc_id", "rk")), "doc_id")
     first_seen = grams.groupBy("s").agg(F.min("rk").alias("first_rk"))
     # Checkpoint-grain accumulation, NOT a (types × checkpoints)
     # crossJoin fan-out: every type/doc contributes ONE row to its

@@ -22,7 +22,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
     _sql_minhash,
 )
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # MinHash estimator-error gate (dedup-side analogue of ann_recall_at_3)
@@ -126,10 +126,13 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_key"
         ),
     ).filter(F.col("band_key").isNotNull())
-    # merge-hinted: both sides of the band self-join are corpus-sized
-    # (the r12 ×100-smoke Generate-blind broadcast class — see
-    # llm_ops.lsh_candidate_pairs).
-    a = bucket.alias("a").hint("merge")
+    # stats-barriered (r13, replacing the r12 merge hint): both sides
+    # of the band self-join are corpus-sized with a Generate-blind
+    # static estimate (the ×100-smoke broadcast class — see
+    # llm_ops.lsh_candidate_pairs); static stays SMJ, AQE's runtime
+    # size-measured BHJ conversion is free again.
+    bucket = stats_barrier(bucket)
+    a = bucket.alias("a")
     b = bucket.alias("b")
     cand = (
         a.join(
@@ -141,12 +144,13 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(
+    ssrc = stats_barrier(sig)
+    sa = ssrc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("feats").alias("fa"),
         *[F.col(f"mh_{s}").alias(f"a_mh_{s}") for s in range(6)],
     )
-    sb = sig.select(
+    sb = ssrc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("feats").alias("fb"),
         *[F.col(f"mh_{s}").alias(f"b_mh_{s}") for s in range(6)],
@@ -161,12 +165,10 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fa") + F.size("fb") - inter
     ).cast("double")
     return (
-        # merge-hinted: sa/sb carry corpus-sized feature arrays the
-        # static planner would broadcast on a Generate-blind estimate
-        # (the r12 ×100-smoke class — see dedup_minhash_lsh/extras9).
-        cand.hint("merge")
-        .join(sa, "doc_a")
-        .hint("merge")
+        # stats-barriered above: sa/sb carry corpus-sized feature
+        # arrays the static planner would broadcast on a Generate-
+        # blind estimate (the r12 ×100-smoke class).
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

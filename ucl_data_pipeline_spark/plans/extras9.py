@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # ---------------------------------------------------------------------------
 # Trailing 7-day distinct users (sliding COUNT DISTINCT)
@@ -773,12 +773,16 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ra, rb) caps the total overlap at min(na-ra, nb-rb)+1, which
     # must reach the θ-equivalent overlap ⌈(na+nb)/3⌉ (3x ≥ y is the
     # integer spelling of x ≥ ⌈y/3⌉).
-    # merge-hint the prefix self-join: BOTH sides are the corpus-sized
-    # prefix index, but its window-only lineage gives Catalyst a
-    # Generate-blind size estimate small enough to broadcast statically
-    # (driver kill at scale). SMJ sorts fixed-width (tok, ids) rows and
-    # spills gracefully — the classic ppjoin physical shape.
-    a, b = pfx.alias("a").hint("merge"), pfx.alias("b")
+    # stats-barrier the prefix self-join (r13, replacing the r12 merge
+    # hint): BOTH sides are the corpus-sized prefix index, but its
+    # window-only lineage gives Catalyst a Generate-blind size estimate
+    # small enough to broadcast statically (driver kill at scale). The
+    # barrier keeps the static plan SMJ — fixed-width (tok, ids) rows
+    # sort and spill gracefully, the classic ppjoin physical shape —
+    # while AQE's runtime conversion (decided from measured shuffle
+    # sizes) may broadcast exactly when the prefix index really fits.
+    pfx = stats_barrier(pfx)
+    a, b = pfx.alias("a"), pfx.alias("b")
     an, bn = F.col("a.n"), F.col("b.n")
     cand = (
         a.join(
@@ -803,17 +807,18 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification joins carry the CORPUS-sized feature arrays on the
     # fa/fb side — statically the planner broadcast them (the same
     # Generate-blind estimate as the df join above; at ×100 the fa
-    # broadcast alone is ~0.5 GB of arrays). Merge-hinted: SMJ never
-    # builds a hash relation, so neither a corpus-sized build NOR a
-    # candidate×array build can exhaust task memory (a shuffle_hash
-    # spelling was tried first, and its second join's build — the
-    # cand⋈fa intermediate WITH its ta arrays — blew the per-task
-    # memory budget at ×100 under full 32-thread concurrency; sorts
-    # spill, hash builds don't). The fa/fb side arrives
-    # hash-partitioned on doc_id from its own aggregate, so each SMJ
-    # adds only the candidate-side exchange plus sorts. The hint is
-    # consumed per-join, so the intermediate is re-hinted for the
-    # second join.
+    # broadcast alone is ~0.5 GB of arrays). These STAY merge-pinned
+    # in r13 while the prefix self-join above moved to the stats
+    # barrier: the 4-variant interleaved A/B (pin/barrier × self/
+    # verify, 3 cold-cache reps each) measured the verify joins'
+    # runtime BHJ conversion a ~1.9× REGRESSION here (6.0 s vs 3.2 s
+    # min) — broadcasting this query's larger candidate×array working
+    # set loses to SMJ even at sf0.1, unlike dedup_minhash_lsh's
+    # smaller banded candidate set where the same barrier wins 1.25×
+    # (OPTIMIZATION_r13.md). SMJ also keeps the ×100 memory argument:
+    # no hash relation, sorts spill (a shuffle_hash spelling blew
+    # per-task memory at ×100 in r12). The hint is consumed per-join,
+    # so the intermediate is re-hinted.
     return (
         cand.hint("merge")
         .join(fa, "doc_a")

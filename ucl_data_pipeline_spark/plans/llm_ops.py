@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ucl_data_pipeline_spark.functions import text as TX
 from ucl_data_pipeline_spark.functions import vector as VX
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 # Shared SQL fragments (duplicated verbatim into each oracle so every
 # oracle stays a self-contained statement).
@@ -263,13 +263,17 @@ def lsh_candidate_pairs(feats: DataFrame) -> DataFrame:
         .filter(F.col("band_key").isNotNull())
         .select("doc_id", "band_idx", F.xxhash64("band_key").alias("band_key"))
     )
-    # merge-hinted (r12): BOTH sides of the band-bucket self-join are
-    # the corpus-sized (doc_id, band_idx, band_key) frame; its static
-    # size estimate rides through the banding lineage's Generate and
-    # the planner chose BroadcastHashJoin (the ×100-smoke class,
-    # SCALE_NOTES r12). SMJ on the fixed-width band keys spills
-    # gracefully and AQE still splits skewed buckets.
-    a = bucket.alias("a").hint("merge")
+    # stats-barriered (r13, replacing the r12 merge hint): BOTH sides
+    # of the band-bucket self-join are the corpus-sized (doc_id,
+    # band_idx, band_key) frame whose static size estimate rides
+    # through the banding lineage's Generate — the static planner
+    # would broadcast it (the ×100-smoke class, SCALE_NOTES r12). The
+    # barrier makes the static estimate conservatively unknown, so the
+    # static plan is SMJ (spills gracefully, AQE still splits skewed
+    # buckets) while AQE's runtime SMJ→BHJ conversion — decided from
+    # MEASURED shuffle sizes — stays free, which the r12 hint blocked.
+    bucket = stats_barrier(bucket)
+    a = bucket.alias("a")
     b = bucket.alias("b")
     return (
         a.join(
@@ -345,24 +349,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feats = _rep_features(spark, sf_dir).persist()
     cand = lsh_candidate_pairs(feats)
-    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
-    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
+    # stats-barriered verification joins (r13, replacing the r12 merge
+    # hints): fa/fb carry CORPUS-sized feature arrays whose static
+    # size estimate rides through a Generate Catalyst cannot see into
+    # — unbarriered, the static planner broadcast them and the ×100
+    # perturbed smoke blew the driver on exactly this site
+    # (SCALE_NOTES r12). The barrier keeps the static plan SMJ (no
+    # hash relation, spills gracefully) while AQE converts to
+    # broadcast at runtime from measured sizes — the conversion the
+    # hint blocked. cand needs no barrier: it joins two barriered
+    # sides, so its own static estimate is already conservative.
+    fsrc = stats_barrier(feats)
+    fa = fsrc.select(F.col("doc_id").alias("doc_a"), F.col("feats").alias("fa"))
+    fb = fsrc.select(F.col("doc_id").alias("doc_b"), F.col("feats").alias("fb"))
     # hash-based O(n+m) intersection — a filter/array_contains lambda
     # is O(n·m) interpreted per candidate pair
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size("fa") + F.size("fb") - inter
-    # merge-hinted verification joins (r12): fa/fb carry CORPUS-sized
-    # feature arrays whose static size estimate rides through a
-    # Generate Catalyst cannot see into — the static planner broadcast
-    # them and the ×100 perturbed smoke blew the driver on exactly
-    # this site (SCALE_NOTES r12; same class and fix as
-    # jaccard_prefix_filter_pairs, extras9). SMJ builds no hash
-    # relation and spills; the hint is consumed per-join, so the
-    # intermediate is re-hinted.
     return (
-        cand.hint("merge")
-        .join(fa, "doc_a")
-        .hint("merge")
+        cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select(
             "doc_a",
@@ -444,17 +449,20 @@ def jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-cap doc size rides a doc_id window; na/nb then travel
     # through the self-join sides and become group keys (determined by
     # doc_a/doc_b, so they add no group cardinality). One join left —
-    # the inverted-index self-join — merge-hinted for the same reason.
+    # the inverted-index self-join — stats-barriered for the same
+    # reason (r13: the barrier replaces the r12 merge hint; static
+    # plan stays SMJ, AQE's runtime size-measured BHJ conversion is
+    # free again — see sources/io.stats_barrier).
     w_f = Window.partitionBy("f")
     w_doc = Window.partitionBy("doc_id")
-    ex_inf = (
+    ex_inf = stats_barrier(
         ex.withColumn("df", F.count("*").over(w_f))
         .filter(F.col("df") <= _JACCARD_MAX_DF)
         .withColumn("n", F.count("*").over(w_doc))
         .select("doc_id", "f", "n")
         .persist()
     )
-    a = ex_inf.alias("a").hint("merge")
+    a = ex_inf.alias("a")
     b = ex_inf.alias("b")
     shared = (
         a.join(

