@@ -487,7 +487,13 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     "runs_test_daily_revenue": (1, "calendar day grain"),
     "share_of_parent_rollup": (1, "rollup group grain"),
     "sprt_sequential_test": (3, "calendar day grain (sequential walk)"),
-    "theil_sen_slope_daily": (1, "calendar day grain"),
+    # r13: both rank-selection queries share bucketed_rank_select
+    # (extras22); its ≤4096-row bucket-grain prefix-count window
+    # appears twice in the lazy plan (target-bucket locate + rank
+    # attach reference the same tiny subtree) — bounded by the bucket
+    # count at any data size.
+    "theil_sen_slope_daily": (2, "4096-bucket prefix counts, bucketed_rank_select"),
+    "quantile_sample_error": (2, "4096-bucket prefix counts, bucketed_rank_select"),
     "unigram_neg_sampling_table": (1, "vocab grain"),
     "vocab_coverage": (1, "vocab grain"),
     "weekly_revenue_growth": (1, "calendar week grain"),

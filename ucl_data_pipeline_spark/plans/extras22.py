@@ -58,6 +58,93 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_rank_select(
+    vals: DataFrame, col: str, ranks: DataFrame, kk: Column, n_buckets: int = 4096
+) -> DataFrame:
+    """Distributed multi-rank selection (guide §5: bound per-task
+    memory): the kk-th smallest value of ``col`` for every row of the
+    small ``ranks`` frame, WITHOUT a global sort and WITHOUT a
+    single-task full-value buffer (the ObjectHashAggregate shape a
+    scalar ``percentile_disc`` pays).
+
+    One count/min/max pass sizes the problem; values histogram into
+    ``n_buckets`` equi-width buckets (bucketing uses a DOUBLE cast —
+    monotone, so it never reorders values, at worst merges neighbors
+    into one bucket); a window over the ≤n_buckets-row count frame
+    locates each rank's target bucket by prefix count; ONLY target
+    buckets' rows are then ranked (row_number ordered by the original
+    column, so ties and decimal precision follow the input type) and
+    the global rank is (rows below the bucket) + (rank within it).
+    Three passes over ``vals`` total — the caller persists ``vals``
+    when its lineage is expensive.
+
+    r13: extracted from ``theil_sen_slope_daily``'s inline spelling so
+    ``quantile_sample_error``'s exact side shares it rather than adding
+    a third exact-quantile spelling (r12 verdict task 5).
+
+    vals:  frame holding numeric column ``col``.
+    ranks: SMALL frame (broadcast everywhere), one row per wanted rank;
+           its column names must not collide with ``col`` or ``__*``.
+    kk:    Column over ranks' columns plus ``__n`` (total value count),
+           evaluating to the 1-based target rank.
+    Returns one row per ranks row: ranks' columns + ``__n`` + ``col``.
+    """
+    v = F.col(col).cast("double")
+    stats = vals.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+    )
+    targets = stats.crossJoin(F.broadcast(ranks)).withColumn(
+        "__kk", kk.cast("long")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / float(n_buckets)
+    bkt = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(F.floor((v - F.col("__lo")) / width), F.lit(n_buckets - 1)),
+    ).otherwise(F.lit(0))
+    bucketed = vals.crossJoin(F.broadcast(stats)).select(
+        F.col(col), bkt.alias("__bkt")
+    )
+    counts = bucketed.groupBy("__bkt").agg(F.count("*").alias("__c"))
+    below = (
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__below")
+    )
+    hit = counts.select("__bkt", "__c", below).join(
+        F.broadcast(targets),
+        (F.col("__below") < F.col("__kk"))
+        & (F.col("__below") + F.col("__c") >= F.col("__kk")),
+    )
+    # rank rows once per target bucket, THEN attach the (possibly
+    # several) ranks that land in it — joining before row_number would
+    # duplicate rows and corrupt the in-bucket ranking.
+    in_bucket = bucketed.join(
+        F.broadcast(hit.select("__bkt").distinct()), "__bkt"
+    )
+    ranked = in_bucket.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__bkt").orderBy(col))
+    )
+    return (
+        ranked.join(
+            F.broadcast(
+                hit.select("__bkt", "__kk", "__below", "__n", *ranks.columns)
+            ),
+            "__bkt",
+        )
+        .filter(F.col("__rn") == F.col("__kk") - F.col("__below"))
+        .select(*ranks.columns, "__n", col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Theil-Sen robust slope of the daily revenue series
 # ---------------------------------------------------------------------------
@@ -128,52 +215,18 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         # day×day expansion per pass — the pagerank persist precedent.
         .persist()
     )
-    stats = pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        ((F.count("*") + 1) / 2).cast("long").alias("kk"),
-        F.min("slope6").alias("lo"),
-        F.max("slope6").alias("hi"),
+    # r13: the bucket walk (monotone bucketing: equal slope6 → same
+    # bucket, global rank = rows in lower buckets + rank within) moved
+    # to the shared ``bucketed_rank_select`` so quantile_sample_error's
+    # exact side reuses one selection spelling. kk = ⌈n/2⌉, the lower
+    # median, exactly the old inline (n+1)/2 truncation.
+    one = spark.range(1).select(F.lit(1).alias("__rid"))
+    sel = bucketed_rank_select(
+        pairs, "slope6", one, ((F.col("__n") + 1) / 2).cast("long")
     )
-    # Monotone bucketing: equal slope6 → same bucket, so the global
-    # rank of a row is (rows in lower buckets) + (rank within bucket).
-    width = (F.col("hi") - F.col("lo")) / 4096.0
-    bkt = F.when(
-        F.col("hi") > F.col("lo"),
-        F.least(
-            F.floor((F.col("slope6") - F.col("lo")) / width), F.lit(4095)
-        ),
-    ).otherwise(F.lit(0))
-    bucketed = pairs.crossJoin(F.broadcast(stats)).withColumn("bkt", bkt)
-    counts = bucketed.groupBy("bkt").agg(
-        F.count("*").alias("c"), F.first("kk").alias("kk")
-    )
-    below = (
-        F.coalesce(
-            F.sum("c").over(
-                Window.orderBy("bkt").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("below")
-    )
-    target = (
-        counts.select("bkt", "c", "kk", below)
-        .filter(
-            (F.col("below") < F.col("kk"))
-            & (F.col("below") + F.col("c") >= F.col("kk"))
-        )
-        .select("bkt", "below")
-    )
-    in_bucket = bucketed.join(F.broadcast(target), "bkt")
-    return (
-        in_bucket.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("bkt").orderBy("slope6"))
-        )
-        .filter(F.col("rn") == F.col("kk") - F.col("below"))
-        .select("n_pairs", F.col("slope6").alias("theil_sen_slope"))
+    return sel.select(
+        F.col("__n").alias("n_pairs"),
+        F.col("slope6").alias("theil_sen_slope"),
     )
 
 

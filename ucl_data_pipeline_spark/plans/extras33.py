@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ucl_data_pipeline_spark.plans.extras22 import bucketed_rank_select
 from ucl_data_pipeline_spark.plans.extras31 import _h48, _sql_h48
 from ucl_data_pipeline_spark.plans.registry import register
 from ucl_data_pipeline_spark.sources.io import read_table
@@ -124,9 +125,8 @@ def quantile_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             _TAG,
         ).alias("h"),
     )
-    # ONE percentile_disc buffer per side via the array form: N scalar
-    # percentile_disc aggs each materialize their own full value
-    # buffer (measured 7.7 s -> 2.9 s at sf0.1 for this query).
+    # SAMPLE side: one percentile_disc buffer via the array form is
+    # fine — the buffer is exactly the k=1024 sampled rows.
     qs_arr = "array(" + ", ".join(f"{q}D" for q in _QS) + ")"
     sample = keyed.orderBy("h").limit(_SAMPLE_K)
     s = sample.agg(
@@ -134,41 +134,45 @@ def quantile_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"percentile_disc({qs_arr}) WITHIN GROUP (ORDER BY v)"
         ).alias("sq")
     ).select(
-        *[
-            F.col("sq").getItem(i).cast("double").alias(f"s_{i}")
-            for i in range(len(_QS))
-        ]
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(q)) for q in _QS]).alias("quantile"),
+                F.col("sq").cast("array<double>").alias("sample_value"),
+            )
+        ).alias("z")
+    ).select("z.quantile", "z.sample_value")
+    # EXACT side (r13, guide §5): the array percentile_disc still
+    # buffered EVERY l_extendedprice in one ObjectHashAggregate task —
+    # the whole table's values in one task's memory, the exact shape
+    # distributed selection exists to avoid. Replaced with the shared
+    # bucketed_rank_select (theil_sen's bucket walk): 3 bounded passes,
+    # no full-table buffer, per-task state ≤ one bucket. The rank rule
+    # is percentile_disc's own cume_dist definition — the smallest k
+    # with k/n ≥ q, evaluated in the same IEEE double comparisons both
+    # engines use — so the selected value is bit-identical to the old
+    # aggregate (verified oracle-exact at sf0.001/0.01/0.1).
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in _QS])).alias("quantile")
     )
-    e = li.agg(
-        F.expr(
-            f"percentile_disc({qs_arr}) WITHIN GROUP "
-            "(ORDER BY l_extendedprice)"
-        ).alias("eq")
-    ).select(
-        *[
-            F.col("eq").getItem(i).cast("double").alias(f"e_{i}")
-            for i in range(len(_QS))
-        ]
-    )
-    both = s.crossJoin(F.broadcast(e))
-    # unpivot via stack(): ONE pass over the single joined stats row —
-    # a 5-way union of projections would re-execute both aggregate
-    # subtrees per branch.
-    stack_args = ", ".join(
-        f"CAST({q} AS DOUBLE), e_{i}, s_{i}" for i, q in enumerate(_QS)
-    )
-    return both.select(
-        F.expr(
-            f"stack({len(_QS)}, {stack_args}) "
-            "AS (quantile, exact_value, sample_value)"
+    k0 = F.floor(F.col("quantile") * F.col("__n")).cast("long")
+    kk = F.when(
+        (k0 >= 1)
+        & ((k0.cast("double") / F.col("__n").cast("double")) >= F.col("quantile")),
+        k0,
+    ).otherwise(k0 + 1)
+    e = bucketed_rank_select(
+        li.select(F.col("l_extendedprice").alias("ev")), "ev", qs, kk
+    ).select("quantile", F.col("ev").cast("double").alias("exact_value"))
+    return (
+        e.join(F.broadcast(s), "quantile")
+        .select(
+            "quantile",
+            "exact_value",
+            "sample_value",
+            F.round(
+                (F.col("sample_value") - F.col("exact_value"))
+                / F.nullif(F.col("exact_value"), F.lit(0.0)),
+                6,
+            ).alias("rel_error"),
         )
-    ).select(
-        "quantile",
-        "exact_value",
-        "sample_value",
-        F.round(
-            (F.col("sample_value") - F.col("exact_value"))
-            / F.nullif(F.col("exact_value"), F.lit(0.0)),
-            6,
-        ).alias("rel_error"),
     )
