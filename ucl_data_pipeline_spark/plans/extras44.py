@@ -44,6 +44,7 @@ from ucl_data_pipeline_spark.plans.llm_ops import (
     _SQL_SHINGLES,
     _SQL_TOKS,
     _rep_features,
+    _rep_frames,
     dedup_minhash_lsh,
     lsh_candidate_pairs,
 )
@@ -495,13 +496,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split assignment is a pure projection joined at pair grain; the
     final agg is a ≤6-row frame with a singleton total broadcast.
     """
-    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
-    exact = (
-        docs.join(rep, "text")
-        .filter(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    # r13 (verdict task 3): the near and exact lineages share ONE
+    # exact-dup collapse via _rep_frames — the old spelling re-scanned
+    # documents and re-ran the text-grain groupBy that _rep_features
+    # had already computed inside dedup_minhash_lsh (a duplicated
+    # scan+aggregate subtree in this query's plan, bench top-3).
+    rep, feats, exact = _rep_frames(spark, sf_dir)
+    feats = feats.persist()
+    near = dedup_minhash_lsh(spark, sf_dir, feats=feats).select(
+        "doc_a", "doc_b"
     )
     all_pairs = near.unionByName(exact)
     sp = read_table(spark, sf_dir, "documents").select(

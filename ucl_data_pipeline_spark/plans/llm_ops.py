@@ -337,17 +337,66 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
+def _rep_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(rep, feats, exact) off ONE documents scan + ONE text-grain
+    groupBy (r13, verdict task 3): ``rep`` is the exact-dup collapse
+    (lowest doc_id per distinct text, PERSISTED — the caller owns the
+    unpersist), ``feats`` the rep shingle sets (_gram_features over the
+    cached rep), and ``exact`` the (representative, copy) pair mapping.
+    Before this, cc_edge_set and split_leakage_audit re-derived rep
+    with a second scan + groupBy to build the exact pairs that
+    _rep_features had already computed and discarded — one duplicated
+    scan+aggregate subtree per consumer (bench top-3 cost in
+    split_leakage_audit). The rep cache keeps both lineages (gram
+    features AND the copy join) on one materialization.
+    """
+    from ucl_data_pipeline_spark.sources.io import fan_out
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out feeds ONLY the collapse/gram path (the CPU-bound stage,
+    # _doc_features rationale); the exact-pair join reads the plain
+    # scan — routing it through the round-robin exchange (plus its
+    # sort-before-repartition safety sort over full text) measured a
+    # ~1.5 s regression at sf0.1.
+    rep = (
+        fan_out(docs)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .persist()
+    )
+    feats = _gram_features(rep)
+    exact = (
+        docs.join(
+            rep.select(F.col("doc_id").alias("rep_id"), "text"), "text"
+        )
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return rep, feats, exact
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE, tags=("dedup", "llm"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH (3 bands × 2 rows) over
     exact-duplicate-collapsed representatives (see _rep_features), then
     exact shingle-Jaccard verification ≥ 0.5 within candidate buckets.
+
+    ``feats`` lets a composing query (cc_edge_set, split_leakage_audit)
+    pass an already-built (doc_id, feats) representative frame so the
+    exact-dup collapse underneath runs once (r13, _rep_frames);
+    ownership follows the argument — a caller-provided frame must be
+    persisted by the caller and is not unpersisted here.
 
     Scale shape: shuffle on (band_idx, band_key) — never O(n²). The
     verify join re-fetches only candidate docs' features. (For very
     skewed buckets, AQE skew-join splits the hot keys.)
     """
-    feats = _rep_features(spark, sf_dir).persist()
+    if feats is None:
+        feats = _rep_features(spark, sf_dir).persist()
     cand = lsh_candidate_pairs(feats)
     # stats-barriered verification joins (r13, replacing the r12 merge
     # hints): fa/fb carry CORPUS-sized feature arrays whose static
@@ -1299,16 +1348,23 @@ def cc_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     RDD (no lineage re-execution); the partition target scales with
     the dup-graph size (~64k pair rows ≈ 1.5 MB per partition),
     capped at default parallelism, so a corpus-scale dup graph keeps
-    full parallelism while a bench-scale one collapses to 1."""
-    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
-    exact = (
-        docs.join(rep, "text")
-        .filter(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    full parallelism while a bench-scale one collapses to 1.
+
+    r13 (verdict task 3): the near and exact lineages now share ONE
+    exact-dup collapse via ``_rep_frames`` — previously the exact
+    pairs re-scanned documents and re-ran the text-grain groupBy that
+    ``_rep_features`` had already computed for the LSH side. Both
+    caches are released as soon as the pair set is checkpointed
+    (lineage truncated), so CC queries no longer leak cache entries
+    for the session."""
+    rep, feats, exact = _rep_frames(spark, sf_dir)
+    feats = feats.persist()
+    near = dedup_minhash_lsh(spark, sf_dir, feats=feats).select(
+        "doc_a", "doc_b"
     )
     pairs = near.unionByName(exact).localCheckpoint()
+    feats.unpersist()
+    rep.unpersist()
     n_pairs = pairs.count()
     n_parts = max(
         1,
