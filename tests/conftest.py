@@ -17,6 +17,11 @@ def spark():
     spark = get_spark("tests", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+    # r12 advisor: query-internal persist() calls rely on the bench's
+    # per-run clearCache; the session fixture must not let cache
+    # entries accumulate across a whole test session (bounded by LRU,
+    # but needless pressure).
+    spark.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")

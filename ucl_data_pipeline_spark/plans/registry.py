@@ -87,35 +87,24 @@ def register(
 # and locally verified -- tools/verify_local.py covers the full
 # inventory).
 #
-# Round-12 rotation (the round-11 verdict's task 2, re-planned after
-# the ×100 smoke found the Generate-blind static-broadcast class).
-# After r11 the never-witnessed count is 0 and the vintage
-# distribution is r3: 3, r4: 49, r5-r11: 341 (computed from
-# CORRECTNESS_r01-r11; the r11 prefix consumed all 15 r2-vintage rows
-# and 35 r3 rows). The 50-slot prefix:
-#   (1) all 3 remaining r3-vintage rows (url_normalize -- displaced
-#       last round by the changed-plan gini -- vocab_coverage,
-#       window_frame_surface; the round-11 judge re-verified all
-#       three exact at sf0.01);
-#   (2) the 19 REWITNESS_CHANGED rows below -- every query whose
-#       physical plan changed with the r12 scale fixes
-#       (_gram_features lost its corpus-array left join; the
-#       jaccard/containment pair miners rewrote df-cap/size joins as
-#       windows; the minhash family, heaps_law_exponent and
-#       texttiling_boundaries pinned merge joins at corpus-grain
-#       sites; SCALE_NOTES r12) PLUS the four connected-components
-#       queries whose propagation loop was rewritten in the r12
-#       optimization pass (edge-node-subgraph labels, folded
-#       convergence check -- llm_ops.dedup_connected_components,
-#       extras34.cc_superstep_convergence, and their composers
-#       cc_canonical_selection / component_split_assign);
-#   (3) the 28 alphabetically-first r4-vintage rows, leaving 21 r4
-#       rows (multimodal_frame_sample, outer_join_hybrid,
-#       pareto_frontier_parts, percentile_cont_surface,
-#       percentile_disc_surface, pricing_summary,
-#       regr_ols_surface .. view_click_interval_join) plus the r5+
-#       tail for round 13.
-# Everything later in the dict has a green row from rounds 4-11 and
+# Round-13 rotation (optimization round 2). After r12 the
+# never-witnessed count is 0 and the oldest vintage is r4 with 21 rows
+# left (computed from CORRECTNESS_r01-r12). The 50-slot prefix:
+#   (1) the 20 REWITNESS_CHANGED rows below -- every query whose plan
+#       changed with this round's optimizations: the similarity family
+#       un-pinned from merge hints onto the stats barrier
+#       (sources/io.stats_barrier; dedup_minhash_lsh and
+#       lsh_candidate_pairs feed dedup_minhash_pr too), the
+#       connected-components family's right-sized edge-set partitions
+#       + shared exact-dup collapse (llm_ops._rep_frames, also
+#       split_leakage_audit), and the bucketed_rank_select extraction
+#       (quantile_sample_error's distributed exact side,
+#       theil_sen_slope_daily refactored onto the same helper);
+#   (2) the 21 remaining r4-vintage rows (multimodal_frame_sample ..
+#       view_click_interval_join);
+#   (3) the 9 alphabetically-first r5-vintage rows (ann_ndcg_at_10 ..
+#       cheapest_route_nations), leaving the r5+ tail for round 14.
+# Everything later in the dict has a green row from rounds 4-12 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
 # Queries whose plans were changed/rewritten THIS round and are
@@ -126,7 +115,6 @@ def register(
 # from its comment (the round-8 failure mode, fixed manually in r9,
 # now gated).
 REWITNESS_CHANGED: tuple[str, ...] = (
-    "ann_rrf_fusion",
     "bag_jaccard_pairs",
     "cc_canonical_selection",
     "cc_superstep_convergence",
@@ -139,21 +127,18 @@ REWITNESS_CHANGED: tuple[str, ...] = (
     "jaccard_prefix_filter_pairs",
     "jaccard_shingle_pairs",
     "minhash_jaccard_error",
-    "minhash_signatures",
     "minhash_size_frontier",
+    "quantile_sample_error",
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
+    "split_leakage_audit",
     "texttiling_boundaries",
+    "theil_sen_slope_daily",
 )
 
 EXPORT_FIRST: tuple[str, ...] = (
-    # (1) the 3 remaining r3-vintage rows
-    "url_normalize",
-    "vocab_coverage",
-    "window_frame_surface",
-    # (2) the 19 changed-plan rows, re-witnessed while changed
-    "ann_rrf_fusion",
+    # (1) the 20 changed-plan rows, re-witnessed while changed
     "bag_jaccard_pairs",
     "cc_canonical_selection",
     "cc_superstep_convergence",
@@ -166,41 +151,46 @@ EXPORT_FIRST: tuple[str, ...] = (
     "jaccard_prefix_filter_pairs",
     "jaccard_shingle_pairs",
     "minhash_jaccard_error",
-    "minhash_signatures",
     "minhash_size_frontier",
+    "quantile_sample_error",
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
+    "split_leakage_audit",
     "texttiling_boundaries",
-    # (3) the 28 alphabetically-first r4-vintage rows
-    "ann_recall_at_3",
-    "as_of_join_nearest",
-    "checksum_table",
-    "coalesce_candidates",
-    "conform_defaults",
-    "decontaminate_docs",
-    "dedup_cross_snapshot",
-    "dedup_events_first",
-    "dedup_fuzzy_edit_distance",
-    "dict_lookup_join",
-    "domain_mixture_weights",
-    "enrich_broadcast_join",
-    "event_transition_matrix",
-    "ewma_bounded",
-    "filter_project",
-    "gap_fill_daily",
-    "grouping_id_surface",
-    "hypertable_rollup",
-    "incremental_agg_merge",
-    "inverted_index_postings",
-    "json_props_extract",
-    "k_anonymity_check",
-    "kmeans_lloyd2",
-    "linear_interpolate",
-    "map_functions",
-    "map_ho_functions",
-    "mode_per_group",
-    "multimodal_feature_extract",
+    "theil_sen_slope_daily",
+    # (2) the 21 remaining r4-vintage rows
+    "multimodal_frame_sample",
+    "outer_join_hybrid",
+    "pareto_frontier_parts",
+    "percentile_cont_surface",
+    "percentile_disc_surface",
+    "pricing_summary",
+    "regr_ols_surface",
+    "robust_zscore_outliers",
+    "semi_join_big_spenders",
+    "session_window_agg",
+    "sessionize_gaps_islands",
+    "shard_assignment_rendezvous",
+    "sliding_window_agg",
+    "time_weighted_avg",
+    "token_pmi_pairs",
+    "train_val_test_split",
+    "triangle_count_trade",
+    "tumbling_window_agg",
+    "unigram_entropy",
+    "user_event_sequences",
+    "view_click_interval_join",
+    # (3) the 9 alphabetically-first r5-vintage rows
+    "ann_ndcg_at_10",
+    "ann_recall_ivf_at_3",
+    "ann_recall_pq_at_3",
+    "ann_recall_sq8_at_3",
+    "assoc_rules_lift",
+    "bag_set_ops_surface",
+    "bitmap_distinct_counts",
+    "calendar_dim_coverage",
+    "cheapest_route_nations",
 )
 
 
