@@ -899,15 +899,34 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank here doubles as the oracle), one broadcast-fold pass to
     assign; no shuffle larger than the final 8-group agg.
     """
+    from ucl_data_pipeline_spark.plans.extras22 import bucketed_rank_select
+
     o = read_table(spark, sf_dir, "orders")
-    bounds_row = o.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY o_totalprice)"
-                )
-                for q in _RANGE_FRACS
-            ]
+    # r13 (guide §5): the old spelling ran SEVEN scalar percentile_disc
+    # aggregates in one agg — seven ObjectHashAggregate buffers, each
+    # holding EVERY o_totalprice value in one task (the pre-r8
+    # quantile_sample_error shape). The shared bucketed_rank_select
+    # finds all seven order statistics with bounded per-task state;
+    # the rank rule is percentile_disc's cume_dist definition
+    # (smallest k with k/n ≥ q, IEEE doubles — the helper's proven
+    # spelling), so the boundary VALUES are bit-identical.
+    fr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in _RANGE_FRACS])).alias("q")
+    )
+    k0 = F.floor(F.col("q") * F.col("__n")).cast("long")
+    kk = F.when(
+        (k0 >= 1)
+        & ((k0.cast("double") / F.col("__n").cast("double")) >= F.col("q")),
+        k0,
+    ).otherwise(k0 + 1)
+    bnd = bucketed_rank_select(
+        o.select(F.col("o_totalprice").alias("bv")), "bv", fr, kk
+    )
+    # bounds array ordered by q (7 rows → one struct-sorted array)
+    bounds_row = bnd.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("q", "bv"))),
+            lambda s: s["bv"],
         ).alias("bounds")
     )
     assigned = (

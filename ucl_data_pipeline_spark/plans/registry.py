@@ -90,7 +90,7 @@ def register(
 # Round-13 rotation (optimization round 2). After r12 the
 # never-witnessed count is 0 and the oldest vintage is r4 with 21 rows
 # left (computed from CORRECTNESS_r01-r12). The 50-slot prefix:
-#   (1) the 20 REWITNESS_CHANGED rows below -- every query whose plan
+#   (1) the 21 REWITNESS_CHANGED rows below -- every query whose plan
 #       changed with this round's optimizations: the similarity family
 #       un-pinned from merge hints onto the stats barrier
 #       (sources/io.stats_barrier; dedup_minhash_lsh and
@@ -99,11 +99,12 @@ def register(
 #       + shared exact-dup collapse (llm_ops._rep_frames, also
 #       split_leakage_audit), and the bucketed_rank_select extraction
 #       (quantile_sample_error's distributed exact side,
-#       theil_sen_slope_daily refactored onto the same helper);
+#       theil_sen_slope_daily and range_partition_boundaries
+#       refactored onto the same helper);
 #   (2) the 21 remaining r4-vintage rows (multimodal_frame_sample ..
 #       view_click_interval_join);
-#   (3) the 9 alphabetically-first r5-vintage rows (ann_ndcg_at_10 ..
-#       cheapest_route_nations), leaving the r5+ tail for round 14.
+#   (3) the 8 alphabetically-first r5-vintage rows (ann_ndcg_at_10 ..
+#       calendar_dim_coverage), leaving the r5+ tail for round 14.
 # Everything later in the dict has a green row from rounds 4-12 and
 # stays locally verified by tools/verify_local.py / the parametrized
 # pytest oracle suite over the FULL registry.
@@ -129,6 +130,7 @@ REWITNESS_CHANGED: tuple[str, ...] = (
     "minhash_jaccard_error",
     "minhash_size_frontier",
     "quantile_sample_error",
+    "range_partition_boundaries",
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
@@ -138,7 +140,7 @@ REWITNESS_CHANGED: tuple[str, ...] = (
 )
 
 EXPORT_FIRST: tuple[str, ...] = (
-    # (1) the 20 changed-plan rows, re-witnessed while changed
+    # (1) the 21 changed-plan rows, re-witnessed while changed
     "bag_jaccard_pairs",
     "cc_canonical_selection",
     "cc_superstep_convergence",
@@ -153,6 +155,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "minhash_jaccard_error",
     "minhash_size_frontier",
     "quantile_sample_error",
+    "range_partition_boundaries",
     "reciprocal_best_match",
     "shingle_containment_pairs",
     "source_minhash_overlap",
@@ -181,7 +184,7 @@ EXPORT_FIRST: tuple[str, ...] = (
     "unigram_entropy",
     "user_event_sequences",
     "view_click_interval_join",
-    # (3) the 9 alphabetically-first r5-vintage rows
+    # (3) the 8 alphabetically-first r5-vintage rows
     "ann_ndcg_at_10",
     "ann_recall_ivf_at_3",
     "ann_recall_pq_at_3",
@@ -190,7 +193,6 @@ EXPORT_FIRST: tuple[str, ...] = (
     "bag_set_ops_surface",
     "bitmap_distinct_counts",
     "calendar_dim_coverage",
-    "cheapest_route_nations",
 )
 
 
