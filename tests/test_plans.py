@@ -494,6 +494,7 @@ SINGLE_PARTITION_WINDOW_GRAINS = {
     # count at any data size.
     "theil_sen_slope_daily": (2, "4096-bucket prefix counts, bucketed_rank_select"),
     "quantile_sample_error": (2, "4096-bucket prefix counts, bucketed_rank_select"),
+    "range_partition_boundaries": (2, "4096-bucket prefix counts, bucketed_rank_select"),
     "unigram_neg_sampling_table": (1, "vocab grain"),
     "vocab_coverage": (1, "vocab grain"),
     "weekly_revenue_growth": (1, "calendar week grain"),
